@@ -1,0 +1,28 @@
+from .isect import Isect, isect_tiles, suggest_capacity
+from .projection import (
+    fisheye_proj,
+    fully_fused_projection,
+    ortho_proj,
+    persp_proj,
+    quat_scale_to_covar_preci,
+    quat_to_rotmat,
+    world_to_cam,
+)
+from .rasterize_ref import rasterize_to_pixels_ref
+from .sh import eval_sh_bases, spherical_harmonics
+
+__all__ = [
+    "Isect",
+    "isect_tiles",
+    "suggest_capacity",
+    "fully_fused_projection",
+    "quat_scale_to_covar_preci",
+    "quat_to_rotmat",
+    "world_to_cam",
+    "persp_proj",
+    "ortho_proj",
+    "fisheye_proj",
+    "rasterize_to_pixels_ref",
+    "spherical_harmonics",
+    "eval_sh_bases",
+]

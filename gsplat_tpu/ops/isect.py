@@ -1,0 +1,147 @@
+"""Tile intersection + depth-ordered binning, XLA-native with static shapes.
+
+The reference builds a dynamically-sized COO intersection list on the host
+(`.item()` sync at gsplat/triton_impl/isect_tiles.py:100-104), packs 64-bit
+keys `cam_id || tile_id || f32(depth) bits`, and radix-sorts them with CUB
+(gsplat/triton_impl/radix_sort/radix_sort.cu). None of that maps to TPU/XLA:
+
+  - Dynamic shapes force recompiles and host syncs -> we emit into a
+    **fixed-capacity** buffer of `capacity` entries (jnp.repeat with
+    total_repeat_length) and surface the true count so callers can grow the
+    capacity between steps (a bounded, out-of-jit decision).
+  - int64 keys are emulated and slow on TPU -> we sort with **two int32 keys**
+    ((cam*n_tiles + tile), f32-depth-bits) via `jax.lax.sort(num_keys=2)`,
+    which lowers to the XLA TPU sort (the CUB-radix-sort equivalent).
+  - The offset "back-fill" kernel (gsplat/triton_impl/isect_offset.py:39-63)
+    becomes a single `jnp.searchsorted` over the sorted major keys.
+
+Parity oracle: gsplat/cuda/_torch_impl.py:331-429.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Isect(NamedTuple):
+    """Depth-sorted tile intersection list (static capacity).
+
+    Attributes:
+        tile_keys: [capacity] int32, `cam_id * n_tiles + tile_id` per entry,
+            sorted ascending; padding entries hold `C * n_tiles`.
+        depth_keys: [capacity] int32, f32 depth bits (secondary sort key).
+        flatten_ids: [capacity] int32, flattened `cam_id * N + gaussian_id`
+            per entry (indexes [C*N] projection outputs). Padding holds 0 but
+            is excluded by the offsets below.
+        offsets: [C, tile_height, tile_width] int32, start index of each
+            tile's range in the sorted list; the range end is the next tile's
+            start (`ends`).
+        ends: [C, tile_height, tile_width] int32, end index of each range.
+        n_isects: [] int32, true number of intersections (may exceed
+            `capacity`, in which case the list was truncated and the caller
+            should re-run with a larger capacity).
+        tiles_per_gauss: [C, N] int32.
+    """
+
+    tile_keys: jax.Array
+    depth_keys: jax.Array
+    flatten_ids: jax.Array
+    offsets: jax.Array
+    ends: jax.Array
+    n_isects: jax.Array
+    tiles_per_gauss: jax.Array
+
+
+def isect_tiles(
+    means2d: jax.Array,  # [C, N, 2]
+    radii: jax.Array,  # [C, N] int32
+    depths: jax.Array,  # [C, N]
+    tile_size: int,
+    tile_width: int,
+    tile_height: int,
+    capacity: int,
+) -> Isect:
+    """Bin Gaussians into the image tiles they overlap, sorted by (cam, tile, depth).
+
+    Each Gaussian covers the axis-aligned tile rectangle
+    [floor((mean - r)/ts), ceil((mean + r)/ts)) clamped to the grid
+    (parity: gsplat/cuda/_torch_impl.py:350-360). One entry is emitted per
+    (gaussian, covered tile) into a `capacity`-sized buffer.
+    """
+    C, N = means2d.shape[:2]
+    n_tiles = tile_width * tile_height
+
+    means2d = jax.lax.stop_gradient(means2d)
+    depths = jax.lax.stop_gradient(depths)
+
+    tile_means = means2d / tile_size
+    tile_radii = (radii / tile_size)[..., None]
+    tile_mins = jnp.floor(tile_means - tile_radii).astype(jnp.int32)
+    tile_maxs = jnp.ceil(tile_means + tile_radii).astype(jnp.int32)
+    tile_mins = jnp.clip(
+        tile_mins, 0, jnp.array([tile_width, tile_height], jnp.int32)
+    )
+    tile_maxs = jnp.clip(
+        tile_maxs, 0, jnp.array([tile_width, tile_height], jnp.int32)
+    )
+    rect_w = tile_maxs[..., 0] - tile_mins[..., 0]  # [C, N]
+    rect_h = tile_maxs[..., 1] - tile_mins[..., 1]
+    tiles_per_gauss = jnp.where(radii > 0, rect_w * rect_h, 0)  # [C, N]
+
+    tpg_flat = tiles_per_gauss.reshape(-1)  # [C*N]
+    cum = jnp.cumsum(tpg_flat)
+    n_isects = cum[-1]
+    starts = cum - tpg_flat  # exclusive prefix
+
+    # Expand: entry e in [0, capacity) belongs to source (cam,gauss) `src[e]`,
+    # and is that source's `local[e]`-th covered tile (row-major over the rect).
+    src = jnp.repeat(
+        jnp.arange(C * N, dtype=jnp.int32),
+        tpg_flat,
+        total_repeat_length=capacity,
+    )  # [capacity]
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    local = pos - starts[src].astype(jnp.int32)
+
+    rw = jnp.maximum(rect_w.reshape(-1)[src], 1)
+    tx = tile_mins[..., 0].reshape(-1)[src] + local % rw
+    ty = tile_mins[..., 1].reshape(-1)[src] + local // rw
+    cam = src // N
+
+    valid = pos < n_isects
+    tile_keys = jnp.where(
+        valid, cam * n_tiles + ty * tile_width + tx, C * n_tiles
+    ).astype(jnp.int32)
+    depth_keys = jax.lax.bitcast_convert_type(
+        depths.reshape(-1)[src], jnp.int32
+    )  # depths > near_plane > 0 so f32 bit order == int32 order
+    flatten_ids = jnp.where(valid, src, 0).astype(jnp.int32)
+
+    tile_keys, depth_keys, flatten_ids = jax.lax.sort(
+        (tile_keys, depth_keys, flatten_ids), num_keys=2
+    )
+
+    bounds = jnp.searchsorted(
+        tile_keys, jnp.arange(n_tiles * C + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    offsets = bounds[:-1].reshape(C, tile_height, tile_width)
+    ends = bounds[1:].reshape(C, tile_height, tile_width)
+
+    return Isect(
+        tile_keys=tile_keys,
+        depth_keys=depth_keys,
+        flatten_ids=flatten_ids,
+        offsets=offsets,
+        ends=ends,
+        n_isects=n_isects.astype(jnp.int32),
+        tiles_per_gauss=tiles_per_gauss.astype(jnp.int32),
+    )
+
+
+def suggest_capacity(n_isects: int, slack: float = 1.3, align: int = 4096) -> int:
+    """Out-of-jit helper: next capacity given an observed intersection count."""
+    cap = int(n_isects * slack) + align
+    return (cap + align - 1) // align * align

@@ -1,0 +1,125 @@
+"""Reference (oracle) rasterizer: pure jnp, differentiable, O(N * pixels).
+
+This is the TPU build's analogue of the reference's pure-torch oracle
+(gsplat/cuda/_torch_impl.py:522-617): a semantics-exact, autodiff-friendly
+implementation of tile-based alpha compositing used as ground truth for the
+Pallas kernels (values and VJPs) and as a CPU-runnable fallback for small
+scenes. It is vectorized over all (pixel, gaussian) pairs, so use it only for
+tests / toy problems.
+
+Exact per-pixel semantics (parity with
+gsplat/triton_impl/rasterize_to_pixels_fwd.py:60-200):
+  - process Gaussians in (depth, emit-order) sorted order
+  - alpha   = clip(opacity * exp(-sigma), max=0.999)
+  - invalid if alpha < 1/255, sigma < 0, radii <= 0, or the pixel's tile is
+    outside the Gaussian's tile rectangle (tile culling is observable: at the
+    rect boundary alpha can still exceed 1/255)
+  - a Gaussian is accepted iff valid and the *inclusive* transmittance
+    prod_{valid j<=i}(1-alpha_j) stays > 1e-4; the first violation
+    terminates the pixel
+  - render = sum accepted T_excl * alpha * color + T_final * background
+  - alpha clamped at 0.999 contributes no gradient through the alpha path
+    (rasterize_to_pixels_bwd.py:186-190), which jnp.clip reproduces.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.999
+TRANSMITTANCE_EPS = 1e-4
+
+
+def rasterize_to_pixels_ref(
+    means2d: jax.Array,  # [C, N, 2]
+    conics: jax.Array,  # [C, N, 3]
+    colors: jax.Array,  # [C, N, D]
+    opacities: jax.Array,  # [C, N]
+    radii: jax.Array,  # [C, N] int32
+    depths: jax.Array,  # [C, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int = 16,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+) -> Tuple[jax.Array, jax.Array]:
+    """Alpha-composite Gaussians to pixels (oracle path).
+
+    Returns (render_colors [C, H, W, D], render_alphas [C, H, W, 1]).
+    """
+    C, N, _ = means2d.shape
+    D = colors.shape[-1]
+    tile_width = -(-image_width // tile_size)
+    tile_height = -(-image_height // tile_size)
+
+    # Sort by depth (f32 bit order), stable => emit order ties resolved by index,
+    # matching the stable lax.sort over (tile, depth) keys in the tiled path.
+    depth_bits = jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(depths), jnp.int32
+    )
+    order = jnp.argsort(depth_bits, axis=-1, stable=True)  # [C, N]
+
+    def take(x):
+        return jnp.take_along_axis(
+            x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+
+    means2d = take(means2d)
+    conics = take(conics)
+    colors = take(colors)
+    opacities = take(opacities[..., None])[..., 0]
+    radii = take(radii[..., None])[..., 0]
+
+    # Tile rectangle per (cam, gaussian), identical to isect_tiles.
+    tile_means = jax.lax.stop_gradient(means2d) / tile_size
+    tile_r = (radii / tile_size)[..., None]
+    tmin = jnp.floor(tile_means - tile_r).astype(jnp.int32)
+    tmax = jnp.ceil(tile_means + tile_r).astype(jnp.int32)
+
+    # Pixel coordinates (+0.5 center convention).
+    py, px = jnp.mgrid[0:image_height, 0:image_width]
+    px = px.reshape(-1).astype(jnp.float32) + 0.5
+    py = py.reshape(-1).astype(jnp.float32) + 0.5
+    ptx = (px - 0.5).astype(jnp.int32) // tile_size  # [P]
+    pty = (py - 0.5).astype(jnp.int32) // tile_size
+
+    dx = px[None, :, None] - means2d[:, None, :, 0]  # [C, P, N]
+    dy = py[None, :, None] - means2d[:, None, :, 1]
+    a = conics[:, None, :, 0]
+    bq = conics[:, None, :, 1]
+    c = conics[:, None, :, 2]
+    sigma = 0.5 * (a * dx * dx + c * dy * dy) + bq * dx * dy
+    alpha = jnp.clip(opacities[:, None, :] * jnp.exp(-sigma), None, ALPHA_MAX)
+
+    in_rect = (
+        (ptx[None, :, None] >= tmin[:, None, :, 0])
+        & (ptx[None, :, None] < tmax[:, None, :, 0])
+        & (pty[None, :, None] >= tmin[:, None, :, 1])
+        & (pty[None, :, None] < tmax[:, None, :, 1])
+    )
+    valid = (
+        (alpha >= ALPHA_MIN)
+        & (sigma >= 0.0)
+        & (radii[:, None, :] > 0)
+        & in_rect
+    )
+
+    log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
+    logT_incl = jnp.cumsum(log1m, axis=-1)  # [C, P, N]
+    accept = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
+
+    vis = jnp.where(accept, jnp.exp(logT_incl - log1m) * alpha, 0.0)
+    render = jnp.einsum("cpn,cnd->cpd", vis, colors)
+    final_logT = jnp.sum(jnp.where(accept, log1m, 0.0), axis=-1)  # [C, P]
+    render_alphas = 1.0 - jnp.exp(final_logT)
+
+    if backgrounds is not None:
+        render = render + (1.0 - render_alphas)[..., None] * backgrounds[:, None, :]
+
+    return (
+        render.reshape(C, image_height, image_width, D),
+        render_alphas.reshape(C, image_height, image_width, 1),
+    )

@@ -1,0 +1,234 @@
+"""High-level rasterization pipeline API (parity: gsplat/rendering.py:44-598).
+
+Differences from the reference, by TPU-native design:
+  - Everything is traceable under ``jax.jit``: no host syncs, no dynamic
+    shapes. The intersection list uses a static ``isect_capacity`` (see
+    ops/isect.py); ``meta["n_isects"]`` reports the true count so callers can
+    grow the capacity between steps.
+  - No "packed"/"sparse_grad" modes: XLA gets the same memory win from masked
+    dense [C, N] layouts without dynamic-shape COO tensors.
+  - Gradients w.r.t. the projected 2D means (used by densification) are
+    captured functionally: pass ``means2d_carrier`` (zeros [C, N, 2]) and
+    differentiate w.r.t. it, replacing torch's ``retain_grad`` on an
+    intermediate (gsplat/strategy/default.py:138-150).
+  - ``backend='oracle'`` is the pure-jnp O(N*pixels) reference path (the
+    analogue of gsplat/cuda/_torch_impl.py); ``backend='tiled'`` is the
+    tile-binned pipeline with Pallas kernels on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.isect import isect_tiles
+from .ops.projection import fully_fused_projection
+from .ops.rasterize_ref import rasterize_to_pixels_ref
+from .ops.sh import spherical_harmonics
+
+RENDER_MODES = ("RGB", "D", "ED", "RGB+D", "RGB+ED")
+
+
+def rasterization(
+    means: jax.Array,  # [N, 3]
+    quats: jax.Array,  # [N, 4]
+    scales: jax.Array,  # [N, 3]
+    opacities: jax.Array,  # [N]
+    colors: jax.Array,  # [(C,) N, D] or [(C,) N, K, 3]
+    viewmats: jax.Array,  # [C, 4, 4]
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    eps2d: float = 0.3,
+    sh_degree: Optional[int] = None,
+    tile_size: int = 16,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+    render_mode: str = "RGB",
+    rasterize_mode: str = "classic",  # or "antialiased"
+    channel_chunk: int = 32,
+    camera_model: str = "pinhole",
+    covars: Optional[jax.Array] = None,  # [N, 3, 3]
+    backend: str = "auto",
+    isect_capacity: Optional[int] = None,
+    means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros
+) -> Tuple[jax.Array, jax.Array, Dict]:
+    """Rasterize N 3D Gaussians to C image planes.
+
+    Returns (render_colors [C, H, W, X], render_alphas [C, H, W, 1], meta).
+    X = D (+1 if render_mode includes depth).
+    """
+    N = means.shape[0]
+    C = viewmats.shape[0]
+    assert render_mode in RENDER_MODES, render_mode
+    assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
+
+    if backend == "auto":
+        backend = "tiled" if isect_capacity is not None else "oracle"
+
+    radii, means2d, depths, conics, compensations = fully_fused_projection(
+        means,
+        quats,
+        scales,
+        viewmats,
+        Ks,
+        width,
+        height,
+        eps2d=eps2d,
+        near_plane=near_plane,
+        far_plane=far_plane,
+        radius_clip=radius_clip,
+        calc_compensations=(rasterize_mode == "antialiased"),
+        camera_model=camera_model,
+        covars=covars,
+    )
+
+    if means2d_carrier is not None:
+        means2d = means2d + means2d_carrier
+
+    opacities_cn = jnp.broadcast_to(opacities[None, :], (C, N))
+    if compensations is not None:
+        opacities_cn = opacities_cn * compensations
+
+    meta: Dict = {
+        "radii": radii,
+        "means2d": means2d,
+        "depths": depths,
+        "conics": conics,
+        "opacities": opacities_cn,
+        "width": width,
+        "height": height,
+        "tile_size": tile_size,
+        "n_cameras": C,
+    }
+
+    # Colors: either direct features or SH coefficients.
+    if sh_degree is None:
+        if colors.ndim == 2:
+            colors_cn = jnp.broadcast_to(colors[None], (C, N, colors.shape[-1]))
+        else:
+            colors_cn = colors
+    else:
+        camtoworlds = jnp.linalg.inv(viewmats)  # [C, 4, 4]
+        dirs = means[None, :, :] - camtoworlds[:, None, :3, 3]  # [C, N, 3]
+        masks = radii > 0
+        if colors.ndim == 3:
+            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+        else:
+            shs = colors
+        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=masks)
+        # apples-to-apples with the Inria backend (gsplat/rendering.py:407-408)
+        colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
+
+    # Depth channel augmentation.
+    if render_mode in ("RGB+D", "RGB+ED"):
+        colors_cn = jnp.concatenate([colors_cn, depths[..., None]], axis=-1)
+        if backgrounds is not None:
+            backgrounds = jnp.concatenate(
+                [backgrounds, jnp.zeros((C, 1), backgrounds.dtype)], axis=-1
+            )
+    elif render_mode in ("D", "ED"):
+        colors_cn = depths[..., None]
+        if backgrounds is not None:
+            backgrounds = jnp.zeros((C, 1), backgrounds.dtype)
+
+    D = colors_cn.shape[-1]
+
+    if backend == "oracle":
+        render_colors, render_alphas = _rasterize_chunked(
+            rasterize_to_pixels_ref,
+            channel_chunk,
+            means2d,
+            conics,
+            colors_cn,
+            opacities_cn,
+            radii,
+            depths,
+            width,
+            height,
+            tile_size,
+            backgrounds,
+        )
+    elif backend == "tiled":
+        from .ops.rasterize_tiled import rasterize_to_pixels_tiled
+
+        tile_width = math.ceil(width / tile_size)
+        tile_height = math.ceil(height / tile_size)
+        isect = isect_tiles(
+            means2d, radii, depths, tile_size, tile_width, tile_height,
+            capacity=isect_capacity,
+        )
+        meta.update(
+            {
+                "tile_width": tile_width,
+                "tile_height": tile_height,
+                "tiles_per_gauss": isect.tiles_per_gauss,
+                "flatten_ids": isect.flatten_ids,
+                "isect_offsets": isect.offsets,
+                "n_isects": isect.n_isects,
+            }
+        )
+
+        def _tiled(m2d, con, col, opac, _radii, _depths, w, h, ts, bg):
+            return rasterize_to_pixels_tiled(
+                m2d, con, col, opac, w, h, ts, isect, backgrounds=bg
+            )
+
+        render_colors, render_alphas = _rasterize_chunked(
+            _tiled,
+            channel_chunk,
+            means2d,
+            conics,
+            colors_cn,
+            opacities_cn,
+            radii,
+            depths,
+            width,
+            height,
+            tile_size,
+            backgrounds,
+        )
+    else:
+        raise ValueError(f"Unknown backend: {backend}")
+
+    if render_mode in ("ED", "RGB+ED"):
+        render_colors = jnp.concatenate(
+            [
+                render_colors[..., :-1],
+                render_colors[..., -1:] / jnp.clip(render_alphas, 1e-10, None),
+            ],
+            axis=-1,
+        )
+
+    return render_colors, render_alphas, meta
+
+
+def _rasterize_chunked(
+    fn, channel_chunk, means2d, conics, colors, opacities, radii, depths,
+    width, height, tile_size, backgrounds,
+):
+    """Loop channels in chunks of `channel_chunk` (gsplat/rendering.py:544-572)."""
+    D = colors.shape[-1]
+    if D <= channel_chunk:
+        return fn(
+            means2d, conics, colors, opacities, radii, depths,
+            width, height, tile_size, backgrounds,
+        )
+    out_c, out_a = [], None
+    n_chunks = (D + channel_chunk - 1) // channel_chunk
+    for i in range(n_chunks):
+        sl = slice(i * channel_chunk, (i + 1) * channel_chunk)
+        bg = backgrounds[..., sl] if backgrounds is not None else None
+        rc, ra = fn(
+            means2d, conics, colors[..., sl], opacities, radii, depths,
+            width, height, tile_size, bg,
+        )
+        out_c.append(rc)
+        if out_a is None:
+            out_a = ra
+    return jnp.concatenate(out_c, axis=-1), out_a

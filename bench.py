@@ -1,12 +1,15 @@
 """Benchmark: rasterization fwd+bwd throughput on the garden fixture.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: reference CUDA backend at 1080p scene_grid 5 on TITAN RTX reaches
-171.8 fwd / 97.1 bwd FPS (docs/source/tests/profile.rst:50-58) ->
-combined 1/(1/171.8 + 1/97.1) = 62.0 FPS = 1.286e8 pixels/s fwd+bwd.
+
+Config matches the reference's kernel profile (1080p render, scene_grid 5,
+batch 1 — docs/source/tests/profile.rst:36-58). Baseline: reference CUDA
+backend reaches 171.8 fwd / 97.1 bwd FPS on a TITAN RTX -> combined
+1/(1/171.8 + 1/97.1) = 62.0 FPS = 1.286e8 pixels/s fwd+bwd.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -19,44 +22,60 @@ BASELINE_PIXELS_PER_S = 1.286e8
 
 def main():
     from gsplat_tpu import load_test_data, rasterization
-
-    means, quats, scales, opacities, colors, viewmats, Ks, width, height = (
-        load_test_data(scene_grid=1)
-    )
+    from gsplat_tpu.ops.isect import suggest_capacity
 
     try:
         from gsplat_tpu.ops.rasterize_tiled import rasterize_to_pixels_tiled  # noqa
 
-        have_tiled = True
+        backend = "tiled"
+        scene_grid = 5
     except Exception:
-        have_tiled = False
+        backend = "oracle"
+        scene_grid = 1
 
-    if have_tiled:
-        # 1080p, full garden (parity with the reference profile config)
+    means, quats, scales, opacities, colors, viewmats, Ks, width, height = (
+        load_test_data(scene_grid=scene_grid)
+    )
+
+    if backend == "tiled":
+        # 1080p, garden replicated 5x5 (parity with profile.rst config)
         scale = 1920.0 / width
         Ks = Ks.copy()
         Ks[:, :2, :] *= scale
         width, height = 1920, 1080
         C = 1
-        backend = "tiled"
-        isect_capacity = 8 * 1024 * 1024
     else:
-        # oracle fallback: small render so the O(N*pix) path stays feasible
         n = 4096
         means, quats, scales, opacities, colors = (
             means[:n], quats[:n], scales[:n], opacities[:n], colors[:n],
         )
         C = 1
-        backend = "oracle"
-        isect_capacity = None
 
     viewmats = viewmats[:C]
     Ks = Ks[:C]
-
     args = tuple(
         jnp.asarray(x)
         for x in (means, quats, scales, opacities, colors, viewmats, Ks)
     )
+
+    isect_capacity = None
+    if backend == "tiled":
+        # Probe the true intersection count once, then pick a static capacity
+        # (the out-of-jit capacity decision — see ops/isect.py docstring).
+        from gsplat_tpu.ops.isect import isect_tiles
+        from gsplat_tpu.ops.projection import fully_fused_projection
+
+        radii, means2d, depths = jax.jit(
+            lambda m, q, s: fully_fused_projection(
+                m, q, s, args[5], args[6], width, height
+            )[:3]
+        )(args[0], args[1], args[2])
+        tw, th = -(-width // 16), -(-height // 16)
+        probe = isect_tiles(means2d, radii, depths, 16, tw, th, capacity=8)
+        n_isects = int(probe.n_isects)
+        isect_capacity = suggest_capacity(n_isects)
+        print(f"n_gaussians={args[0].shape[0]} n_isects={n_isects} "
+              f"capacity={isect_capacity}", file=sys.stderr)
 
     def loss_fn(means, quats, scales, opacities, colors, viewmats, Ks):
         render, alphas, _ = rasterization(
@@ -80,7 +99,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"garden {width}x{height} rasterization fwd+bwd ({backend})",
+                "metric": (
+                    f"garden {width}x{height} grid{scene_grid} "
+                    f"rasterization fwd+bwd ({backend})"
+                ),
                 "value": pixels_per_s,
                 "unit": "pixels/s",
                 "vs_baseline": pixels_per_s / BASELINE_PIXELS_PER_S,

@@ -1,0 +1,537 @@
+"""COLMAP-scene Gaussian-splatting trainer, TPU-native.
+
+Parity target: /root/reference/examples/simple_trainer.py (tyro Config at
+:47-192, splat init :196-280, train loop :566-851, eval :853-932). Rebuilt
+for TPU:
+
+  - **Static shapes everywhere.** The Gaussian pool is padded to a capacity
+    with a live mask; densification is masked scatters (gsplat_tpu.strategy).
+    When the pool or the intersection buffer approaches its capacity the
+    trainer grows it *between* steps (an out-of-jit recompile — a handful per
+    run, amortized to nothing; the reference instead reshapes tensors every
+    refine step, which XLA cannot trace).
+  - **One jitted train step** covering render -> loss -> backward -> masked
+    Adam updates. Screen-space gradients for densification come from the
+    explicit `means2d_carrier` argument (replaces torch retain_grad).
+  - Per-parameter Adam with the reference's learning rates
+    (simple_trainer.py:257-277), means-lr exponential decay to 1%.
+
+Usage:
+    python examples/simple_trainer.py default --data-dir data/garden --data-factor 4
+    python examples/simple_trainer.py mcmc --data-dir data/garden --strategy.cap-max 1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu import rasterization
+from gsplat_tpu.datasets import Dataset, Parser
+from gsplat_tpu.losses import psnr as psnr_fn
+from gsplat_tpu.losses import ssim as ssim_fn
+from gsplat_tpu.losses import train_loss
+from gsplat_tpu.modules import knn_distances, rgb_to_sh
+from gsplat_tpu.optimizers import SelectiveAdam
+from gsplat_tpu.strategy import DefaultStrategy, MCMCStrategy
+from gsplat_tpu.utils import save_ply
+
+
+@dataclass
+class Config:
+    data_dir: str = "data/360_v2/garden"
+    data_factor: int = 4
+    result_dir: str = "results/garden"
+    test_every: int = 8
+    max_steps: int = 30_000
+    eval_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    save_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    batch_size: int = 1
+    init_type: str = "sfm"
+    init_num_pts: int = 100_000
+    init_extent: float = 3.0
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    init_opa: float = 0.1
+    init_scale: float = 1.0
+    ssim_lambda: float = 0.2
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    antialiased: bool = False
+    random_bkgd: bool = False
+    opacity_reg: float = 0.0
+    scale_reg: float = 0.0
+    means_lr: float = 1.6e-4
+    scales_lr: float = 5e-3
+    quats_lr: float = 1e-3
+    opacities_lr: float = 5e-2
+    sh0_lr: float = 2.5e-3
+    shN_lr: float = 2.5e-3 / 20
+    strategy_name: str = "default"
+    # DefaultStrategy knobs
+    grow_grad2d: float = 0.0002
+    refine_start_iter: int = 500
+    refine_stop_iter: int = 15_000
+    refine_every: int = 100
+    reset_every: int = 3000
+    absgrad: bool = False
+    # MCMC knobs
+    cap_max: int = 1_000_000
+    noise_lr: float = 5e5
+    # TPU pool management
+    pool_headroom: float = 2.0  # initial capacity = N0 * headroom
+    pool_grow_at: float = 0.9  # grow pool when live fraction exceeds this
+    isect_headroom: float = 1.5
+    steps_scaler: float = 1.0
+    tile_size: int = 16
+    seed: int = 42
+
+    def scale_steps(self):
+        if self.steps_scaler != 1.0:
+            s = self.steps_scaler
+            self.max_steps = int(self.max_steps * s)
+            self.eval_steps = [int(v * s) for v in self.eval_steps]
+            self.save_steps = [int(v * s) for v in self.save_steps]
+            self.refine_start_iter = int(self.refine_start_iter * s)
+            self.refine_stop_iter = int(self.refine_stop_iter * s)
+            self.reset_every = int(self.reset_every * s)
+            self.refine_every = int(self.refine_every * s)
+            self.sh_degree_interval = int(self.sh_degree_interval * s)
+
+
+def parse_config() -> Config:
+    cfg = Config()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("strategy", nargs="?", default="default",
+                    choices=["default", "mcmc"])
+    for f_ in cfg.__dataclass_fields__.values():
+        if f_.name == "strategy_name":
+            continue
+        flag = "--" + f_.name.replace("_", "-")
+        if f_.type == "bool" or isinstance(getattr(cfg, f_.name), bool):
+            ap.add_argument(flag, action="store_true",
+                            default=getattr(cfg, f_.name))
+        elif isinstance(getattr(cfg, f_.name), list):
+            ap.add_argument(flag, type=int, nargs="*",
+                            default=getattr(cfg, f_.name))
+        else:
+            ap.add_argument(flag, type=type(getattr(cfg, f_.name)),
+                            default=getattr(cfg, f_.name))
+    args = ap.parse_args()
+    for k, v in vars(args).items():
+        if k == "strategy":
+            cfg.strategy_name = v
+        else:
+            setattr(cfg, k, v)
+    cfg.scale_steps()
+    return cfg
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def create_splats(cfg: Config, parser: Parser, cap: int, key) -> Dict[str, jnp.ndarray]:
+    """Initialize splats from SfM points (simple_trainer.py:196-280) into a
+    `cap`-slot padded pool."""
+    if cfg.init_type == "sfm":
+        points = parser.points
+        rgbs = parser.points_rgb.astype(np.float32) / 255.0
+    else:
+        rng = np.random.default_rng(cfg.seed)
+        points = cfg.init_extent * parser.scene_scale * (
+            rng.random((cfg.init_num_pts, 3)).astype(np.float32) * 2 - 1
+        )
+        rgbs = rng.random((cfg.init_num_pts, 3)).astype(np.float32)
+
+    n0 = points.shape[0]
+    dist = knn_distances(points, k=4)[:, 1:]  # exclude self
+    dist_avg = np.sqrt(np.mean(dist**2, axis=-1))
+    scales = np.log(np.clip(dist_avg, 1e-7, None) * cfg.init_scale)[:, None]
+    scales = np.repeat(scales, 3, axis=1)
+
+    K = (cfg.sh_degree + 1) ** 2
+    rng = np.random.default_rng(cfg.seed)
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n0] = x
+        return jnp.asarray(out)
+
+    sh0 = rgb_to_sh(rgbs)[:, None, :]  # [n0, 1, 3]
+    params = {
+        "means": pad(points),
+        "scales": pad(scales.astype(np.float32), fill=-10.0),
+        "quats": pad(
+            rng.standard_normal((n0, 4)).astype(np.float32), fill=1.0
+        ),
+        "opacities": pad(
+            np.full((n0,), float(np.log(cfg.init_opa / (1 - cfg.init_opa))),
+                    np.float32),
+            fill=-10.0,
+        ),
+        "sh0": pad(sh0.astype(np.float32)),
+        "shN": jnp.zeros((cap, K - 1, 3), jnp.float32),
+    }
+    live = jnp.arange(cap) < n0
+    return params, live
+
+
+class Runner:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        os.makedirs(cfg.result_dir, exist_ok=True)
+        self.parser = Parser(
+            cfg.data_dir, factor=cfg.data_factor, normalize=True,
+            test_every=cfg.test_every,
+        )
+        self.trainset = Dataset(self.parser, split="train")
+        self.valset = Dataset(self.parser, split="val")
+        self.scene_scale = self.parser.scene_scale * 1.1
+        print(f"scene scale: {self.scene_scale:.3f}; "
+              f"{len(self.trainset)} train / {len(self.valset)} val images")
+
+        key = jax.random.PRNGKey(cfg.seed)
+        n0 = (
+            self.parser.points.shape[0]
+            if cfg.init_type == "sfm"
+            else cfg.init_num_pts
+        )
+        if cfg.strategy_name == "mcmc":
+            cap = _round_up(cfg.cap_max, 4096)
+        else:
+            cap = _round_up(int(n0 * cfg.pool_headroom), 4096)
+        self.params, self.live = create_splats(cfg, self.parser, cap, key)
+        print(f"initialized {n0} splats in a {cap}-slot pool")
+
+        if cfg.strategy_name == "mcmc":
+            self.strategy = MCMCStrategy(
+                cap_max=cfg.cap_max,
+                noise_lr=cfg.noise_lr,
+                refine_start_iter=cfg.refine_start_iter,
+                refine_stop_iter=int(25_000 * cfg.steps_scaler),
+                refine_every=cfg.refine_every,
+            )
+        else:
+            self.strategy = DefaultStrategy(
+                grow_grad2d=cfg.grow_grad2d,
+                refine_start_iter=cfg.refine_start_iter,
+                refine_stop_iter=cfg.refine_stop_iter,
+                refine_every=cfg.refine_every,
+                reset_every=cfg.reset_every,
+                absgrad=cfg.absgrad,
+            )
+        self.strategy_state = self.strategy.initialize_state(
+            cap, scene_scale=self.scene_scale
+        )
+
+        self._build_optimizers()
+        self.isect_capacity = _round_up(int(4e6), 4096) if self._on_tpu else None
+        self._step_fn = None  # compiled lazily; rebuilt on pool growth
+
+    @property
+    def _on_tpu(self):
+        return jax.default_backend() == "tpu"
+
+    def _build_optimizers(self):
+        cfg = self.cfg
+        max_steps = cfg.max_steps
+        means_lr0 = cfg.means_lr * self.scene_scale
+
+        def means_lr(count):
+            # exponential decay to 1% over max_steps (simple_trainer.py:523-528)
+            return means_lr0 * 0.01 ** (count.astype(jnp.float32) / max_steps)
+
+        lrs = {
+            "means": means_lr,
+            "scales": cfg.scales_lr,
+            "quats": cfg.quats_lr,
+            "opacities": cfg.opacities_lr,
+            "sh0": cfg.sh0_lr,
+            "shN": cfg.shN_lr,
+        }
+        self.optimizers = {
+            k: SelectiveAdam(lr, eps=1e-15) for k, lr in lrs.items()
+        }
+        self.opt_states = {
+            k: self.optimizers[k].init(self.params[k]) for k in self.params
+        }
+
+    # --- pool / isect capacity management (out-of-jit, recompiles) --------
+
+    def _maybe_grow(self, n_isects: int):
+        cfg = self.cfg
+        grew = False
+        cap = self.live.shape[0]
+        n_live = int(jnp.sum(self.live))
+        if (
+            cfg.strategy_name != "mcmc"
+            and n_live > cfg.pool_grow_at * cap
+        ):
+            new_cap = _round_up(int(cap * 1.5), 4096)
+            print(f"[pool] {n_live}/{cap} live -> growing to {new_cap}")
+
+            def grow(x, fill=0.0):
+                pad = jnp.full((new_cap - cap,) + x.shape[1:], fill, x.dtype)
+                return jnp.concatenate([x, pad])
+
+            self.params = {k: grow(v) for k, v in self.params.items()}
+            self.live = grow(self.live)
+            self.opt_states = jax.tree.map(
+                lambda x: grow(x) if x.ndim >= 1 and x.shape[0] == cap else x,
+                self.opt_states,
+            )
+            self.strategy_state = {
+                k: (grow(v) if hasattr(v, "ndim") and v.ndim >= 1
+                    and v.shape[0] == cap else v)
+                for k, v in self.strategy_state.items()
+            }
+            grew = True
+        if self.isect_capacity is not None and n_isects > 0.8 * self.isect_capacity:
+            self.isect_capacity = _round_up(
+                int(n_isects * cfg.isect_headroom), 4096
+            )
+            print(f"[isect] n_isects={n_isects} -> capacity {self.isect_capacity}")
+            grew = True
+        if grew:
+            self._step_fn = None
+
+    # --- the jitted step ---------------------------------------------------
+
+    def _make_step(self, width: int, height: int, sh_degree: int):
+        cfg = self.cfg
+        backend = "tiled" if self._on_tpu else "oracle"
+        isect_capacity = self.isect_capacity
+        optimizers = self.optimizers
+
+        def step_fn(params, opt_states, live, camtoworlds, Ks, pixels, bkgd, key):
+            cap = live.shape[0]
+            B = camtoworlds.shape[0]
+            carrier = jnp.zeros((B, cap, 2), jnp.float32)
+
+            def loss_fn(params, carrier):
+                colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
+                render, alphas, meta = rasterization(
+                    params["means"],
+                    params["quats"],
+                    jnp.exp(params["scales"]),
+                    jax.nn.sigmoid(params["opacities"]),
+                    colors,
+                    jnp.linalg.inv(camtoworlds),
+                    Ks,
+                    width,
+                    height,
+                    sh_degree=sh_degree,
+                    near_plane=cfg.near_plane,
+                    far_plane=cfg.far_plane,
+                    rasterize_mode="antialiased" if cfg.antialiased else "classic",
+                    backend=backend,
+                    isect_capacity=isect_capacity,
+                    means2d_carrier=carrier,
+                    masks=live,
+                    tile_size=cfg.tile_size,
+                )
+                if bkgd is not None:
+                    render = render + bkgd * (1.0 - alphas)
+                loss = train_loss(render, pixels, cfg.ssim_lambda)
+                if cfg.opacity_reg > 0.0:
+                    op = jnp.where(live, jax.nn.sigmoid(params["opacities"]), 0.0)
+                    loss = loss + cfg.opacity_reg * jnp.sum(op) / jnp.sum(live)
+                if cfg.scale_reg > 0.0:
+                    sc = jnp.where(live[:, None], jnp.exp(params["scales"]), 0.0)
+                    loss = loss + cfg.scale_reg * jnp.sum(sc) / (3 * jnp.sum(live))
+                aux = {
+                    "radii": meta["radii"],
+                    "n_isects": meta.get("n_isects", jnp.int32(0)),
+                }
+                return loss, aux
+
+            (loss, aux), (g_params, g_carrier) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, carrier)
+
+            visibility = jnp.any(aux["radii"] > 0, axis=0)  # [cap]
+            new_states = {}
+            for k in params:
+                upd, st = optimizers[k].update(
+                    g_params[k], opt_states[k], params[k], visibility
+                )
+                params = {**params, k: params[k] + upd}
+                new_states[k] = st
+            return params, new_states, loss, aux["radii"], g_carrier, aux["n_isects"]
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    # --- training loop ------------------------------------------------------
+
+    def train(self):
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed)
+        stats_path = os.path.join(cfg.result_dir, "stats.jsonl")
+        t_start = time.time()
+
+        order = rng.permutation(len(self.trainset))
+        cursor = 0
+        step_img_shape = None
+
+        for step in range(cfg.max_steps):
+            if cursor >= len(order):
+                order = rng.permutation(len(self.trainset))
+                cursor = 0
+            data = self.trainset[int(order[cursor])]
+            cursor += 1
+
+            pixels = jnp.asarray(data["image"])[None]
+            camtoworlds = jnp.asarray(data["camtoworld"])[None]
+            Ks = jnp.asarray(data["K"])[None]
+            H, W = pixels.shape[1:3]
+            sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
+
+            if self._step_fn is None or step_img_shape != (W, H, sh_degree):
+                self._step_fn = self._make_step(W, H, sh_degree)
+                step_img_shape = (W, H, sh_degree)
+
+            key, k_step, k_strat = jax.random.split(key, 3)
+            bkgd = (
+                jax.random.uniform(k_step, (1, 1, 1, 3))
+                if cfg.random_bkgd
+                else None
+            )
+            (
+                self.params, self.opt_states, loss, radii, g_carrier, n_isects
+            ) = self._step_fn(
+                self.params, self.opt_states, self.live,
+                camtoworlds, Ks, pixels, bkgd, k_step,
+            )
+
+            meta = {
+                "radii": radii, "width": W, "height": H, "n_cameras": 1,
+            }
+            if isinstance(self.strategy, DefaultStrategy):
+                if cfg.absgrad:
+                    g_carrier = jnp.abs(g_carrier)
+                (
+                    self.params, self.live, self.opt_states, self.strategy_state
+                ) = self.strategy.step_post_backward(
+                    self.params, self.live, self.opt_states,
+                    self.strategy_state, step, meta, g_carrier, k_strat,
+                )
+            else:
+                lr_now = (
+                    cfg.means_lr * self.scene_scale
+                    * 0.01 ** (step / cfg.max_steps)
+                )
+                (
+                    self.params, self.live, self.opt_states, self.strategy_state
+                ) = self.strategy.step_post_backward(
+                    self.params, self.live, self.opt_states,
+                    self.strategy_state, step, lr_now, k_strat,
+                )
+
+            if step % 100 == 0:
+                n_live = int(jnp.sum(self.live))
+                print(
+                    f"step {step}: loss={float(loss):.4f} n_live={n_live} "
+                    f"n_isects={int(n_isects)} "
+                    f"({(time.time() - t_start):.0f}s)"
+                )
+                with open(stats_path, "a") as f:
+                    f.write(json.dumps({
+                        "step": step, "loss": float(loss), "n_live": n_live,
+                        "elapsed_s": time.time() - t_start,
+                    }) + "\n")
+                self._maybe_grow(int(n_isects))
+
+            if step + 1 in cfg.eval_steps:
+                self.eval(step + 1)
+            if step + 1 in cfg.save_steps:
+                self.save(step + 1)
+
+        print(f"training done in {(time.time() - t_start) / 60:.1f} min")
+
+    def render(self, camtoworlds, Ks, width, height, sh_degree=None):
+        colors = jnp.concatenate([self.params["sh0"], self.params["shN"]], axis=1)
+        backend = "tiled" if self._on_tpu else "oracle"
+        return rasterization(
+            self.params["means"],
+            self.params["quats"],
+            jnp.exp(self.params["scales"]),
+            jax.nn.sigmoid(self.params["opacities"]),
+            colors,
+            jnp.linalg.inv(camtoworlds),
+            Ks,
+            width,
+            height,
+            sh_degree=self.cfg.sh_degree if sh_degree is None else sh_degree,
+            backend=backend,
+            isect_capacity=self.isect_capacity,
+            masks=self.live,
+            tile_size=self.cfg.tile_size,
+        )
+
+    def eval(self, step: int):
+        psnrs, ssims = [], []
+        t0 = time.time()
+        for i in range(len(self.valset)):
+            data = self.valset[i]
+            pixels = jnp.asarray(data["image"])[None]
+            H, W = pixels.shape[1:3]
+            render, _, _ = self.render(
+                jnp.asarray(data["camtoworld"])[None],
+                jnp.asarray(data["K"])[None],
+                W, H,
+            )
+            render = jnp.clip(render, 0.0, 1.0)
+            psnrs.append(float(psnr_fn(render, pixels)))
+            ssims.append(float(ssim_fn(render, pixels)))
+        dt = (time.time() - t0) / max(len(self.valset), 1)
+        stats = {
+            "step": step,
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+            "num_GS": int(jnp.sum(self.live)),
+            "per_image_s": dt,
+        }
+        print("EVAL", json.dumps(stats))
+        with open(os.path.join(self.cfg.result_dir, f"val_step{step}.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
+
+    def save(self, step: int):
+        path = os.path.join(self.cfg.result_dir, f"ckpt_{step}.npz")
+        np.savez(
+            path,
+            live=np.asarray(self.live),
+            **{k: np.asarray(v) for k, v in self.params.items()},
+        )
+        save_ply(
+            self.params,
+            os.path.join(self.cfg.result_dir, f"splats_{step}.ply"),
+            live=self.live,
+        )
+        print("saved", path)
+
+
+def main():
+    cfg = parse_config()
+    runner = Runner(cfg)
+    runner.train()
+    runner.eval(cfg.max_steps)
+
+
+if __name__ == "__main__":
+    main()

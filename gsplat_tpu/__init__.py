@@ -15,6 +15,8 @@ from .ops import (
     spherical_harmonics,
 )
 from .rendering import rasterization
+from .relocation import compute_relocation, make_binoms
+from .strategy import DefaultStrategy, MCMCStrategy, Strategy
 
 __version__ = "0.1.0"
 
@@ -26,5 +28,10 @@ __all__ = [
     "rasterize_to_pixels_ref",
     "spherical_harmonics",
     "load_test_data",
+    "compute_relocation",
+    "make_binoms",
+    "Strategy",
+    "DefaultStrategy",
+    "MCMCStrategy",
     "__version__",
 ]

@@ -56,7 +56,7 @@ class Isect(NamedTuple):
 
 
 def isect_tiles(
-    means2d: jax.Array,  # [C, N, 2]
+    means2d,  # [C, N, 2] array or (mean_x [C,N], mean_y [C,N]) tuple
     radii: jax.Array,  # [C, N] int32
     depths: jax.Array,  # [C, N]
     tile_size: int,
@@ -70,26 +70,30 @@ def isect_tiles(
     [floor((mean - r)/ts), ceil((mean + r)/ts)) clamped to the grid
     (parity: gsplat/cuda/_torch_impl.py:350-360). One entry is emitted per
     (gaussian, covered tile) into a `capacity`-sized buffer.
+
+    ``means2d`` may be passed SoA (two [C, N] arrays) — the layout-friendly
+    form on TPU, see ops/projection.py docstring.
     """
-    C, N = means2d.shape[:2]
+    if isinstance(means2d, (tuple, list)):
+        mean_x, mean_y = means2d
+    else:
+        mean_x, mean_y = means2d[..., 0], means2d[..., 1]
+    C, N = mean_x.shape
     n_tiles = tile_width * tile_height
 
-    means2d = jax.lax.stop_gradient(means2d)
+    mean_x = jax.lax.stop_gradient(mean_x)
+    mean_y = jax.lax.stop_gradient(mean_y)
     depths = jax.lax.stop_gradient(depths)
 
-    tile_means = means2d / tile_size
-    tile_radii = (radii / tile_size)[..., None]
-    tile_mins = jnp.floor(tile_means - tile_radii).astype(jnp.int32)
-    tile_maxs = jnp.ceil(tile_means + tile_radii).astype(jnp.int32)
-    tile_mins = jnp.clip(
-        tile_mins, 0, jnp.array([tile_width, tile_height], jnp.int32)
-    )
-    tile_maxs = jnp.clip(
-        tile_maxs, 0, jnp.array([tile_width, tile_height], jnp.int32)
-    )
-    rect_w = tile_maxs[..., 0] - tile_mins[..., 0]  # [C, N]
-    rect_h = tile_maxs[..., 1] - tile_mins[..., 1]
+    tile_r = radii / tile_size
+    tminx = jnp.clip(jnp.floor(mean_x / tile_size - tile_r), 0, tile_width).astype(jnp.int32)
+    tmaxx = jnp.clip(jnp.ceil(mean_x / tile_size + tile_r), 0, tile_width).astype(jnp.int32)
+    tminy = jnp.clip(jnp.floor(mean_y / tile_size - tile_r), 0, tile_height).astype(jnp.int32)
+    tmaxy = jnp.clip(jnp.ceil(mean_y / tile_size + tile_r), 0, tile_height).astype(jnp.int32)
+    rect_w = tmaxx - tminx  # [C, N]
+    rect_h = tmaxy - tminy
     tiles_per_gauss = jnp.where(radii > 0, rect_w * rect_h, 0)  # [C, N]
+    tile_mins = (tminx, tminy)
 
     tpg_flat = tiles_per_gauss.reshape(-1)  # [C*N]
     cum = jnp.cumsum(tpg_flat)
@@ -107,8 +111,8 @@ def isect_tiles(
     local = pos - starts[src].astype(jnp.int32)
 
     rw = jnp.maximum(rect_w.reshape(-1)[src], 1)
-    tx = tile_mins[..., 0].reshape(-1)[src] + local % rw
-    ty = tile_mins[..., 1].reshape(-1)[src] + local // rw
+    tx = tile_mins[0].reshape(-1)[src] + local % rw
+    ty = tile_mins[1].reshape(-1)[src] + local // rw
     cam = src // N
 
     valid = pos < n_isects

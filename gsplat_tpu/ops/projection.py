@@ -7,16 +7,25 @@ Semantics mirror the reference pipeline (see ``/root/reference``):
   - fused projection with blur (eps2d), conic inverse, radius + frustum cull
     (gsplat/cuda/_torch_impl.py:250-327, gsplat/triton_impl/fused_projection_fwd.py)
 
-On TPU this is embarrassingly parallel element-wise math over [C, N]; XLA fuses
-it into a handful of vector kernels, and ``jax.grad`` provides the backward pass
-(the reference hand-writes VJPs only because torch kernels demand it). We keep
-everything static-shape: culled Gaussians are signalled by ``radii == 0`` masks,
-never by compaction.
+**Layout note (the TPU-critical design decision).** The hot path never
+materializes [N, 3, 3] or [N, 3] tensors: XLA tiles the two minor dimensions
+to (8, 128), so a [N, 3, 3] covariance buffer pads 3 -> 128 lanes — a 57x
+memory blowup that OOMs at a few million Gaussians. Instead the fused path
+computes in **scalar components**: every intermediate is a [C, N] (or [N])
+array (N on the lane axis), and symmetric 3x3 products are expanded
+componentwise — the same scalarization the reference's Triton kernels use
+(gsplat/triton_impl/util_kernels.py:148-186, quat_scale_to_covar.py:8-64),
+arrived at for the same SIMD reason. XLA fuses the whole chain into a few
+vector kernels and jax.grad differentiates it.
+
+Matrix-shaped wrappers (`quat_to_rotmat`, `quat_scale_to_covar_preci`,
+`world_to_cam`, `persp_proj`, ...) are kept for API parity and tests; they
+are fine at test scale but the fused path does not call through them.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,25 +36,45 @@ def normalize_quat(quats: jax.Array) -> jax.Array:
     return quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
 
 
-def quat_to_rotmat(quats: jax.Array) -> jax.Array:
-    """Quaternion (wxyz, not necessarily normalized) -> rotation matrix [..., 3, 3]."""
+def _quat_to_rot_components(quats: jax.Array):
+    """Normalized quaternion [..., 4] -> 9 rotation components, each [...]."""
     quats = normalize_quat(quats)
     w, x, y, z = jnp.moveaxis(quats, -1, 0)
-    R = jnp.stack(
-        [
-            1 - 2 * (y**2 + z**2),
-            2 * (x * y - w * z),
-            2 * (x * z + w * y),
-            2 * (x * y + w * z),
-            1 - 2 * (x**2 + z**2),
-            2 * (y * z - w * x),
-            2 * (x * z - w * y),
-            2 * (y * z + w * x),
-            1 - 2 * (x**2 + y**2),
-        ],
-        axis=-1,
-    )
-    return R.reshape(quats.shape[:-1] + (3, 3))
+    return {
+        (0, 0): 1 - 2 * (y * y + z * z),
+        (0, 1): 2 * (x * y - w * z),
+        (0, 2): 2 * (x * z + w * y),
+        (1, 0): 2 * (x * y + w * z),
+        (1, 1): 1 - 2 * (x * x + z * z),
+        (1, 2): 2 * (y * z - w * x),
+        (2, 0): 2 * (x * z - w * y),
+        (2, 1): 2 * (y * z + w * x),
+        (2, 2): 1 - 2 * (x * x + y * y),
+    }
+
+
+def quat_to_rotmat(quats: jax.Array) -> jax.Array:
+    """Quaternion (wxyz, not necessarily normalized) -> rotation matrix [..., 3, 3]."""
+    r = _quat_to_rot_components(quats)
+    rows = [r[(i, j)] for i in range(3) for j in range(3)]
+    return jnp.stack(rows, axis=-1).reshape(quats.shape[:-1] + (3, 3))
+
+
+_SYM = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+
+
+def _covar_components(quats: jax.Array, scales: jax.Array) -> Dict:
+    """Sigma = R diag(s^2) R^T as 6 symmetric components, each [...]."""
+    r = _quat_to_rot_components(quats)
+    s2 = [scales[..., k] ** 2 for k in range(3)]
+    return {
+        (i, j): sum(r[(i, k)] * r[(j, k)] * s2[k] for k in range(3))
+        for (i, j) in _SYM
+    }
+
+
+def _sym_get(c: Dict, i: int, j: int):
+    return c[(i, j)] if i <= j else c[(j, i)]
 
 
 def quat_scale_to_covar_preci(
@@ -58,20 +87,24 @@ def quat_scale_to_covar_preci(
     """Covariance RSS^TR^T and/or precision from quaternion + scale.
 
     Parity: gsplat.cuda._wrapper.quat_scale_to_covar_preci
-    (reference oracle gsplat/cuda/_torch_impl.py:41-68).
+    (reference oracle gsplat/cuda/_torch_impl.py:41-68). Matrix-shaped API
+    for tests/tools; the fused projection uses the component path.
     """
-    R = quat_to_rotmat(quats)
 
-    def _outer(M):
-        out = M @ jnp.swapaxes(M, -1, -2)
+    def _build(s_pow):
+        r = _quat_to_rot_components(quats)
+        sp = [scales[..., k] ** s_pow for k in range(3)]
+        comps = {
+            (i, j): sum(r[(i, k)] * r[(j, k)] * sp[k] ** 2 for k in range(3))
+            for (i, j) in _SYM
+        }
         if triu:
-            flat = out.reshape(out.shape[:-2] + (9,))
-            out = (flat[..., jnp.array([0, 1, 2, 4, 5, 8])]
-                   + flat[..., jnp.array([0, 3, 6, 4, 7, 8])]) / 2.0
-        return out
+            return jnp.stack([comps[ij] for ij in _SYM], axis=-1)
+        rows = [_sym_get(comps, i, j) for i in range(3) for j in range(3)]
+        return jnp.stack(rows, axis=-1).reshape(quats.shape[:-1] + (3, 3))
 
-    covars = _outer(R * scales[..., None, :]) if compute_covar else None
-    precis = _outer(R * (1.0 / scales[..., None, :])) if compute_preci else None
+    covars = _build(1.0) if compute_covar else None
+    precis = _build(-1.0) if compute_preci else None
     return covars, precis
 
 
@@ -91,25 +124,43 @@ def world_to_cam(
     return means_c, covars_c
 
 
-def persp_proj(
-    means: jax.Array,  # [C, N, 3] camera-frame
-    covars: jax.Array,  # [C, N, 3, 3]
-    Ks: jax.Array,  # [C, 3, 3]
-    width: int,
-    height: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Pinhole EWA projection with +-30% frustum-margin clamping of the Jacobian.
+def _world_to_cam_components(mx, my, mz, cov: Dict, viewmats: jax.Array):
+    """Transform means + symmetric covariance into each camera frame.
 
-    Parity: gsplat/cuda/_torch_impl.py:71-120.
+    mx/my/mz: [N]; cov: 6 components [N]; viewmats [C, 4, 4].
+    Returns (mc = 3 x [C, N], cc = 6 components [C, N]).
     """
-    tx, ty, tz = means[..., 0], means[..., 1], means[..., 2]
-    tz = jnp.where(tz == 0.0, 1e-8, tz)  # guard, culled later anyway
+    w = {
+        (i, j): viewmats[:, i, j][:, None] for i in range(3) for j in range(3)
+    }  # each [C, 1]
+    t = [viewmats[:, i, 3][:, None] for i in range(3)]
+    m = [mx[None, :], my[None, :], mz[None, :]]
+    mc = [sum(w[(i, j)] * m[j] for j in range(3)) + t[i] for i in range(3)]
+    # tmp[i][k] = sum_l w_il * cov_lk ; cc_ij = sum_k tmp[i][k] * w_jk
+    tmp = [
+        [sum(w[(i, l)] * _sym_get(cov, l, k)[None, :] for l in range(3)) for k in range(3)]
+        for i in range(3)
+    ]
+    cc = {
+        (i, j): sum(tmp[i][k] * w[(j, k)] for k in range(3)) for (i, j) in _SYM
+    }
+    return mc, cc
+
+
+def _persp_components(mc, cc, Ks, width, height):
+    """Pinhole EWA: camera-frame (means, covar comps) -> 2D mean + 2x2 covar.
+
+    Parity: gsplat/cuda/_torch_impl.py:71-120 (incl. the +-30% frustum-margin
+    Jacobian clamp). All arrays [C, N].
+    """
+    tx, ty, tz = mc
+    tz = jnp.where(tz == 0.0, 1e-8, tz)
     tz2 = tz * tz
 
-    fx = Ks[..., 0, 0, None]
-    fy = Ks[..., 1, 1, None]
-    cx = Ks[..., 0, 2, None]
-    cy = Ks[..., 1, 2, None]
+    fx = Ks[:, 0, 0][:, None]
+    fy = Ks[:, 1, 1][:, None]
+    cx = Ks[:, 0, 2][:, None]
+    cy = Ks[:, 1, 2][:, None]
     tan_fovx = 0.5 * width / fx
     tan_fovy = 0.5 * height / fy
 
@@ -120,49 +171,49 @@ def persp_proj(
     txc = tz * jnp.clip(tx / tz, -lim_x_neg, lim_x_pos)
     tyc = tz * jnp.clip(ty / tz, -lim_y_neg, lim_y_pos)
 
-    O = jnp.zeros_like(tx)
-    J = jnp.stack(
-        [fx / tz, O, -fx * txc / tz2, O, fy / tz, -fy * tyc / tz2], axis=-1
-    ).reshape(means.shape[:-1] + (2, 3))
+    # J rows: (j00, 0, j02), (0, j11, j12)
+    j00 = fx / tz
+    j02 = -fx * txc / tz2
+    j11 = fy / tz
+    j12 = -fy * tyc / tz2
 
-    cov2d = jnp.einsum("...ij,...jk,...lk->...il", J, covars, J)
-    means2d = jnp.einsum("cij,cnj->cni", Ks[:, :2, :3], means) / tz[..., None]
-    return means2d, cov2d
+    c00, c01, c02 = cc[(0, 0)], cc[(0, 1)], cc[(0, 2)]
+    c11, c12, c22 = cc[(1, 1)], cc[(1, 2)], cc[(2, 2)]
+    cov00 = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
+    cov01 = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    cov11 = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22)
 
-
-def ortho_proj(
-    means: jax.Array, covars: jax.Array, Ks: jax.Array, width: int, height: int
-) -> Tuple[jax.Array, jax.Array]:
-    """Orthographic projection. Parity: gsplat/cuda/_torch_impl.py:188-222."""
-    fx = Ks[..., 0, 0, None]
-    fy = Ks[..., 1, 1, None]
-    O = jnp.zeros_like(jnp.broadcast_to(fx, means.shape[:-1]))
-    fxb = jnp.broadcast_to(fx, means.shape[:-1])
-    fyb = jnp.broadcast_to(fy, means.shape[:-1])
-    J = jnp.stack([fxb, O, O, O, fyb, O], axis=-1).reshape(means.shape[:-1] + (2, 3))
-    cov2d = jnp.einsum("...ij,...jk,...lk->...il", J, covars, J)
-    f = jnp.stack([Ks[:, 0, 0], Ks[:, 1, 1]], axis=-1)[:, None, :]  # [C,1,2]
-    c = jnp.stack([Ks[:, 0, 2], Ks[:, 1, 2]], axis=-1)[:, None, :]
-    means2d = means[..., :2] * f + c
-    return means2d, cov2d
+    mean_x = fx * tx / tz + cx
+    mean_y = fy * ty / tz + cy
+    return mean_x, mean_y, cov00, cov01, cov11
 
 
-def fisheye_proj(
-    means: jax.Array, covars: jax.Array, Ks: jax.Array, width: int, height: int
-) -> Tuple[jax.Array, jax.Array]:
-    """Equidistant fisheye projection. Parity: gsplat/cuda/_torch_impl.py:123-185."""
-    x, y, z = means[..., 0], means[..., 1], means[..., 2]
-    fx = Ks[..., 0, 0, None]
-    fy = Ks[..., 1, 1, None]
-    cx = Ks[..., 0, 2, None]
-    cy = Ks[..., 1, 2, None]
+def _ortho_components(mc, cc, Ks, width, height):
+    """Orthographic. Parity: gsplat/cuda/_torch_impl.py:188-222."""
+    tx, ty, _ = mc
+    fx = Ks[:, 0, 0][:, None]
+    fy = Ks[:, 1, 1][:, None]
+    cx = Ks[:, 0, 2][:, None]
+    cy = Ks[:, 1, 2][:, None]
+    cov00 = fx * fx * cc[(0, 0)]
+    cov01 = fx * fy * cc[(0, 1)]
+    cov11 = fy * fy * cc[(1, 1)]
+    return tx * fx + cx, ty * fy + cy, cov00, cov01, cov11
+
+
+def _fisheye_components(mc, cc, Ks, width, height):
+    """Equidistant fisheye. Parity: gsplat/cuda/_torch_impl.py:123-185."""
+    x, y, z = mc
+    fx = Ks[:, 0, 0][:, None]
+    fy = Ks[:, 1, 1][:, None]
+    cx = Ks[:, 0, 2][:, None]
+    cy = Ks[:, 1, 2][:, None]
 
     eps = 0.0000001
-    xy_len = jnp.sqrt(x**2 + y**2) + eps
+    xy_len = jnp.sqrt(x * x + y * y) + eps
     theta = jnp.arctan2(xy_len, z + eps)
-    means2d = jnp.stack(
-        [x * fx * theta / xy_len + cx, y * fy * theta / xy_len + cy], axis=-1
-    )
+    mean_x = x * fx * theta / xy_len + cx
+    mean_y = y * fy * theta / xy_len + cy
 
     x2 = x * x + eps
     y2 = y * y
@@ -171,22 +222,123 @@ def fisheye_proj(
     x2y2z2_inv = 1.0 / (x2y2 + z * z)
     b = jnp.arctan2(xy_len, z) / xy_len / x2y2
     a = z * x2y2z2_inv / x2y2
-    J = jnp.stack(
-        [
-            fx * (x2 * a + y2 * b),
-            fx * xy * (a - b),
-            -fx * x * x2y2z2_inv,
-            fy * xy * (a - b),
-            fy * (y2 * a + x2 * b),
-            -fy * y * x2y2z2_inv,
-        ],
-        axis=-1,
-    ).reshape(means.shape[:-1] + (2, 3))
-    cov2d = jnp.einsum("...ij,...jk,...lk->...il", J, covars, J)
-    return means2d, cov2d
+    j00 = fx * (x2 * a + y2 * b)
+    j01 = fx * xy * (a - b)
+    j02 = -fx * x * x2y2z2_inv
+    j10 = fy * xy * (a - b)
+    j11 = fy * (y2 * a + x2 * b)
+    j12 = -fy * y * x2y2z2_inv
+
+    c00, c01, c02 = cc[(0, 0)], cc[(0, 1)], cc[(0, 2)]
+    c11, c12, c22 = cc[(1, 1)], cc[(1, 2)], cc[(2, 2)]
+
+    def rowdot(a0, a1, a2, b0, b1, b2):
+        # a . Sigma . b for rows a, b of J
+        s0 = a0 * c00 + a1 * c01 + a2 * c02
+        s1 = a0 * c01 + a1 * c11 + a2 * c12
+        s2 = a0 * c02 + a1 * c12 + a2 * c22
+        return s0 * b0 + s1 * b1 + s2 * b2
+
+    cov00 = rowdot(j00, j01, j02, j00, j01, j02)
+    cov01 = rowdot(j00, j01, j02, j10, j11, j12)
+    cov11 = rowdot(j10, j11, j12, j10, j11, j12)
+    return mean_x, mean_y, cov00, cov01, cov11
 
 
-_PROJ_FNS = {"pinhole": persp_proj, "ortho": ortho_proj, "fisheye": fisheye_proj}
+_PROJ_COMPONENT_FNS = {
+    "pinhole": _persp_components,
+    "ortho": _ortho_components,
+    "fisheye": _fisheye_components,
+}
+
+
+def _matrix_proj(fn):
+    def wrapped(means, covars, Ks, width, height):
+        mc = [means[..., k] for k in range(3)]
+        cc = {(i, j): covars[..., i, j] for (i, j) in _SYM}
+        mean_x, mean_y, cov00, cov01, cov11 = fn(mc, cc, Ks, width, height)
+        means2d = jnp.stack([mean_x, mean_y], axis=-1)
+        cov2d = jnp.stack([cov00, cov01, cov01, cov11], axis=-1).reshape(
+            means.shape[:-1] + (2, 2)
+        )
+        return means2d, cov2d
+
+    return wrapped
+
+
+# Matrix-shaped projection wrappers (API parity with the reference oracle).
+persp_proj = _matrix_proj(_persp_components)
+ortho_proj = _matrix_proj(_ortho_components)
+fisheye_proj = _matrix_proj(_fisheye_components)
+
+
+def fully_fused_projection_soa(
+    means: jax.Array,  # [N, 3]
+    quats: Optional[jax.Array],  # [N, 4] or None if covars given
+    scales: Optional[jax.Array],  # [N, 3]
+    viewmats: jax.Array,  # [C, 4, 4]
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    eps2d: float = 0.3,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    calc_compensations: bool = False,
+    camera_model: str = "pinhole",
+    covars: Optional[jax.Array] = None,  # [N, 3, 3]
+) -> Dict[str, jax.Array]:
+    """Fused projection, SoA layout: every output is a [C, N] array.
+
+    Returns dict with radii (int32), mean_x, mean_y, depth, conic_a, conic_b,
+    conic_c, and compensation (present iff calc_compensations). Culled
+    entries have radii == 0. This is the hot path — see the module docstring
+    for why nothing here is [*, 3] or [*, 3, 3] shaped.
+    """
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    if covars is not None:
+        cov = {(i, j): covars[:, i, j] for (i, j) in _SYM}
+    else:
+        cov = _covar_components(quats, scales)
+    mc, cc = _world_to_cam_components(mx, my, mz, cov, viewmats)
+    mean_x, mean_y, cov00, cov01, cov11 = _PROJ_COMPONENT_FNS[camera_model](
+        mc, cc, Ks, width, height
+    )
+
+    det_orig = cov00 * cov11 - cov01 * cov01
+    b00 = cov00 + eps2d
+    b11 = cov11 + eps2d
+    det = jnp.clip(b00 * b11 - cov01 * cov01, 1e-10, None)
+
+    out: Dict[str, jax.Array] = {}
+    if calc_compensations:
+        out["compensation"] = jnp.sqrt(jnp.clip(det_orig / det, 0.0, None))
+
+    inv_det = 1.0 / det
+    out["conic_a"] = b11 * inv_det
+    out["conic_b"] = -cov01 * inv_det
+    out["conic_c"] = b00 * inv_det
+    depth = mc[2]
+    out["depth"] = depth
+
+    b = (b00 + b11) / 2.0
+    v1 = b + jnp.sqrt(jnp.clip(b * b - det, 0.01, None))
+    radius = jnp.ceil(3.0 * jnp.sqrt(v1))
+
+    valid = (det > 0) & (depth > near_plane) & (depth < far_plane)
+    inside = (
+        (mean_x + radius > 0)
+        & (mean_x - radius < width)
+        & (mean_y + radius > 0)
+        & (mean_y - radius < height)
+    )
+    if radius_clip > 0.0:
+        valid = valid & (radius > radius_clip)
+    radius = jnp.where(valid & inside, radius, 0.0)
+    out["radii"] = jax.lax.stop_gradient(radius).astype(jnp.int32)
+    out["mean_x"] = mean_x
+    out["mean_y"] = mean_y
+    return out
 
 
 def fully_fused_projection(
@@ -205,57 +357,30 @@ def fully_fused_projection(
     camera_model: str = "pinhole",
     covars: Optional[jax.Array] = None,  # [N, 3, 3]
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
-    """Fused projection: quat/scale -> covar -> cam frame -> 2D EWA -> blur ->
-    conic inverse -> radius + frustum cull.
+    """Fused projection with reference-shaped outputs.
 
     Returns (radii [C,N] int32, means2d [C,N,2], depths [C,N], conics [C,N,3],
-    compensations [C,N] or None). Invalid entries have radii == 0; their other
-    outputs are undefined but finite.
+    compensations [C,N] or None). Invalid entries have radii == 0.
 
     Parity: gsplat/cuda/_torch_impl.py:250-327 and
-    gsplat/triton_impl/fused_projection_fwd.py (same math, single fused kernel).
-    Dense [C, N] layout only: TPU-native design keeps shapes static and signals
-    culled entries via the radii mask (the reference's "packed" COO mode is a
-    GPU memory optimization; masks give the same win under XLA without dynamic
-    shapes).
+    gsplat/triton_impl/fused_projection_fwd.py (same math, single fused
+    kernel). Dense [C, N] layout only: culled entries are signalled by the
+    radii mask, never by compaction (the reference's "packed" COO mode is a
+    GPU memory optimization; masks give the same win under XLA without
+    dynamic shapes).
     """
-    if covars is None:
-        covars, _ = quat_scale_to_covar_preci(
-            quats, scales, compute_covar=True, compute_preci=False
-        )
-    means_c, covars_c = world_to_cam(means, covars, viewmats)
-    means2d, covars2d = _PROJ_FNS[camera_model](means_c, covars_c, Ks, width, height)
-
-    det_orig = (
-        covars2d[..., 0, 0] * covars2d[..., 1, 1]
-        - covars2d[..., 0, 1] * covars2d[..., 1, 0]
+    soa = fully_fused_projection_soa(
+        means, quats, scales, viewmats, Ks, width, height,
+        eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+        radius_clip=radius_clip, calc_compensations=calc_compensations,
+        camera_model=camera_model, covars=covars,
     )
-    c00 = covars2d[..., 0, 0] + eps2d
-    c11 = covars2d[..., 1, 1] + eps2d
-    c01 = (covars2d[..., 0, 1] + covars2d[..., 1, 0]) / 2.0
-
-    det = jnp.clip(c00 * c11 - c01 * c01, 1e-10, None)
-
-    compensations = None
-    if calc_compensations:
-        compensations = jnp.sqrt(jnp.clip(det_orig / det, 0.0, None))
-
-    conics = jnp.stack([c11 / det, -c01 / det, c00 / det], axis=-1)  # [C, N, 3]
-    depths = means_c[..., 2]
-
-    b = (c00 + c11) / 2.0
-    v1 = b + jnp.sqrt(jnp.clip(b * b - det, 0.01, None))
-    radius = jnp.ceil(3.0 * jnp.sqrt(v1))
-
-    valid = (det > 0) & (depths > near_plane) & (depths < far_plane)
-    inside = (
-        (means2d[..., 0] + radius > 0)
-        & (means2d[..., 0] - radius < width)
-        & (means2d[..., 1] + radius > 0)
-        & (means2d[..., 1] - radius < height)
+    means2d = jnp.stack([soa["mean_x"], soa["mean_y"]], axis=-1)
+    conics = jnp.stack([soa["conic_a"], soa["conic_b"], soa["conic_c"]], axis=-1)
+    return (
+        soa["radii"],
+        means2d,
+        soa["depth"],
+        conics,
+        soa.get("compensation"),
     )
-    if radius_clip > 0.0:
-        valid = valid & (radius > radius_clip)
-    radius = jnp.where(valid & inside, radius, 0.0)
-    radii = jax.lax.stop_gradient(radius).astype(jnp.int32)
-    return radii, means2d, depths, conics, compensations

@@ -112,7 +112,11 @@ def rasterize_to_pixels_ref(
     accept = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
 
     vis = jnp.where(accept, jnp.exp(logT_incl - log1m) * alpha, 0.0)
-    render = jnp.einsum("cpn,cnd->cpd", vis, colors)
+    # HIGHEST: on TPU the default einsum precision is bf16, far below the
+    # f32 accuracy this oracle must provide as ground truth.
+    render = jnp.einsum(
+        "cpn,cnd->cpd", vis, colors, precision=jax.lax.Precision.HIGHEST
+    )
     final_logT = jnp.sum(jnp.where(accept, log1m, 0.0), axis=-1)  # [C, P]
     render_alphas = 1.0 - jnp.exp(final_logT)
 

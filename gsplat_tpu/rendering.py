@@ -14,6 +14,10 @@ Differences from the reference, by TPU-native design:
   - ``backend='oracle'`` is the pure-jnp O(N*pixels) reference path (the
     analogue of gsplat/cuda/_torch_impl.py); ``backend='tiled'`` is the
     tile-binned pipeline with Pallas kernels on TPU.
+  - The tiled path runs in SoA component layout end to end ([C, N] arrays,
+    N on the lane axis) — matrix-shaped [.., 2|3] tensors pad catastrophically
+    on TPU (see ops/projection.py docstring) — and its meta therefore exposes
+    radii/depths but not a stacked means2d.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.isect import isect_tiles
-from .ops.projection import fully_fused_projection
+from .ops.projection import fully_fused_projection_soa
 from .ops.rasterize_ref import rasterize_to_pixels_ref
 from .ops.sh import spherical_harmonics
 
@@ -57,6 +61,7 @@ def rasterization(
     backend: str = "auto",
     isect_capacity: Optional[int] = None,
     means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros
+    masks: Optional[jax.Array] = None,  # [N] bool, False = skip (dead pool slot)
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Rasterize N 3D Gaussians to C image planes.
 
@@ -71,7 +76,7 @@ def rasterization(
     if backend == "auto":
         backend = "tiled" if isect_capacity is not None else "oracle"
 
-    radii, means2d, depths, conics, compensations = fully_fused_projection(
+    proj = fully_fused_projection_soa(
         means,
         quats,
         scales,
@@ -87,20 +92,29 @@ def rasterization(
         camera_model=camera_model,
         covars=covars,
     )
+    radii = proj["radii"]
+    mean_x, mean_y = proj["mean_x"], proj["mean_y"]
+    depths = proj["depth"]
+    conics_soa = (proj["conic_a"], proj["conic_b"], proj["conic_c"])
+
+    if masks is not None:
+        # Dead padded-pool slots are culled exactly like frustum-culled
+        # Gaussians: radii == 0 keeps them out of the intersection list and
+        # out of the oracle's validity mask (TPU-native static-shape pools;
+        # the reference reshapes params instead — gsplat/strategy/ops.py).
+        radii = jnp.where(masks[None, :], radii, 0)
 
     if means2d_carrier is not None:
-        means2d = means2d + means2d_carrier
+        mean_x = mean_x + means2d_carrier[..., 0]
+        mean_y = mean_y + means2d_carrier[..., 1]
 
     opacities_cn = jnp.broadcast_to(opacities[None, :], (C, N))
-    if compensations is not None:
-        opacities_cn = opacities_cn * compensations
+    if "compensation" in proj:
+        opacities_cn = opacities_cn * proj["compensation"]
 
     meta: Dict = {
         "radii": radii,
-        "means2d": means2d,
         "depths": depths,
-        "conics": conics,
-        "opacities": opacities_cn,
         "width": width,
         "height": height,
         "tile_size": tile_size,
@@ -116,12 +130,12 @@ def rasterization(
     else:
         camtoworlds = jnp.linalg.inv(viewmats)  # [C, 4, 4]
         dirs = means[None, :, :] - camtoworlds[:, None, :3, 3]  # [C, N, 3]
-        masks = radii > 0
+        sh_masks = radii > 0
         if colors.ndim == 3:
             shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
         else:
             shs = colors
-        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=masks)
+        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=sh_masks)
         # apples-to-apples with the Inria backend (gsplat/rendering.py:407-408)
         colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
 
@@ -137,22 +151,19 @@ def rasterization(
         if backgrounds is not None:
             backgrounds = jnp.zeros((C, 1), backgrounds.dtype)
 
-    D = colors_cn.shape[-1]
-
     if backend == "oracle":
+        means2d = jnp.stack([mean_x, mean_y], axis=-1)
+        conics = jnp.stack(conics_soa, axis=-1)
+        meta["means2d"] = means2d
+
+        def _fn(col, bg):
+            return rasterize_to_pixels_ref(
+                means2d, conics, col, opacities_cn, radii, depths,
+                width, height, tile_size, bg,
+            )
+
         render_colors, render_alphas = _rasterize_chunked(
-            rasterize_to_pixels_ref,
-            channel_chunk,
-            means2d,
-            conics,
-            colors_cn,
-            opacities_cn,
-            radii,
-            depths,
-            width,
-            height,
-            tile_size,
-            backgrounds,
+            _fn, channel_chunk, colors_cn, backgrounds
         )
     elif backend == "tiled":
         from .ops.rasterize_tiled import rasterize_to_pixels_tiled
@@ -160,38 +171,25 @@ def rasterization(
         tile_width = math.ceil(width / tile_size)
         tile_height = math.ceil(height / tile_size)
         isect = isect_tiles(
-            means2d, radii, depths, tile_size, tile_width, tile_height,
+            (mean_x, mean_y), radii, depths, tile_size, tile_width, tile_height,
             capacity=isect_capacity,
         )
         meta.update(
             {
                 "tile_width": tile_width,
                 "tile_height": tile_height,
-                "tiles_per_gauss": isect.tiles_per_gauss,
-                "flatten_ids": isect.flatten_ids,
-                "isect_offsets": isect.offsets,
                 "n_isects": isect.n_isects,
             }
         )
 
-        def _tiled(m2d, con, col, opac, _radii, _depths, w, h, ts, bg):
+        def _fn(col, bg):
             return rasterize_to_pixels_tiled(
-                m2d, con, col, opac, w, h, ts, isect, backgrounds=bg
+                (mean_x, mean_y), conics_soa, col, opacities_cn,
+                width, height, tile_size, isect, backgrounds=bg,
             )
 
         render_colors, render_alphas = _rasterize_chunked(
-            _tiled,
-            channel_chunk,
-            means2d,
-            conics,
-            colors_cn,
-            opacities_cn,
-            radii,
-            depths,
-            width,
-            height,
-            tile_size,
-            backgrounds,
+            _fn, channel_chunk, colors_cn, backgrounds
         )
     else:
         raise ValueError(f"Unknown backend: {backend}")
@@ -208,26 +206,17 @@ def rasterization(
     return render_colors, render_alphas, meta
 
 
-def _rasterize_chunked(
-    fn, channel_chunk, means2d, conics, colors, opacities, radii, depths,
-    width, height, tile_size, backgrounds,
-):
+def _rasterize_chunked(fn, channel_chunk, colors, backgrounds):
     """Loop channels in chunks of `channel_chunk` (gsplat/rendering.py:544-572)."""
     D = colors.shape[-1]
     if D <= channel_chunk:
-        return fn(
-            means2d, conics, colors, opacities, radii, depths,
-            width, height, tile_size, backgrounds,
-        )
+        return fn(colors, backgrounds)
     out_c, out_a = [], None
     n_chunks = (D + channel_chunk - 1) // channel_chunk
     for i in range(n_chunks):
         sl = slice(i * channel_chunk, (i + 1) * channel_chunk)
         bg = backgrounds[..., sl] if backgrounds is not None else None
-        rc, ra = fn(
-            means2d, conics, colors[..., sl], opacities, radii, depths,
-            width, height, tile_size, bg,
-        )
+        rc, ra = fn(colors[..., sl], bg)
         out_c.append(rc)
         if out_a is None:
             out_a = ra

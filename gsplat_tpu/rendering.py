@@ -221,3 +221,135 @@ def _rasterize_chunked(fn, channel_chunk, colors, backgrounds):
         if out_a is None:
             out_a = ra
     return jnp.concatenate(out_c, axis=-1), out_a
+
+
+def rasterization_2dgs(
+    means: jax.Array,  # [N, 3]
+    quats: jax.Array,  # [N, 4]
+    scales: jax.Array,  # [N, 3]
+    opacities: jax.Array,  # [N]
+    colors: jax.Array,  # [(C,) N, D] or [(C,) N, K, 3]
+    viewmats: jax.Array,  # [C, 4, 4]
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    sh_degree: Optional[int] = None,
+    tile_size: int = 16,
+    backgrounds: Optional[jax.Array] = None,
+    render_mode: str = "RGB",
+    distloss: bool = False,
+    depth_mode: str = "expected",
+    backend: str = "oracle",
+    isect_capacity: Optional[int] = None,
+    densify_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros
+    masks: Optional[jax.Array] = None,  # [N] bool
+):
+    """Rasterize 2D (surfel) Gaussians (parity: gsplat/rendering.py:1018-1340).
+
+    Returns (render_colors [C,H,W,X], render_alphas, render_normals [C,H,W,3]
+    in world frame, normals_from_depth [C,H,W,3], render_distort [C,H,W,1],
+    render_median [C,H,W,1], meta). ``densify_carrier`` is the functional
+    replacement for the reference's ``densify`` grad-carrier tensor
+    (gsplat/rendering.py:1206-1208): differentiate w.r.t. it to obtain the
+    screen-space gradients the densification strategies consume
+    (key_for_gradient="gradient_2dgs").
+    """
+    from .ops.projection_2dgs import fully_fused_projection_2dgs
+    from .ops.rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
+    from .utils import depth_to_normal
+
+    N = means.shape[0]
+    C = viewmats.shape[0]
+    assert render_mode in RENDER_MODES, render_mode
+
+    radii, means2d, depths, ray_transforms, normals = fully_fused_projection_2dgs(
+        means, quats, scales, viewmats, Ks, width, height,
+        near_plane=near_plane, far_plane=far_plane, radius_clip=radius_clip,
+    )
+    if masks is not None:
+        radii = jnp.where(masks[None, :], radii, 0)
+    if densify_carrier is not None:
+        means2d = means2d + densify_carrier
+
+    opacities_cn = jnp.broadcast_to(opacities[None, :], (C, N))
+
+    meta: Dict = {
+        "radii": radii,
+        "depths": depths,
+        "width": width,
+        "height": height,
+        "n_cameras": C,
+        "normals": normals,
+    }
+
+    if sh_degree is None:
+        if colors.ndim == 2:
+            colors_cn = jnp.broadcast_to(colors[None], (C, N, colors.shape[-1]))
+        else:
+            colors_cn = colors
+    else:
+        camtoworlds = jnp.linalg.inv(viewmats)
+        dirs = means[None, :, :] - camtoworlds[:, None, :3, 3]
+        sh_masks = radii > 0
+        shs = (
+            jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            if colors.ndim == 3
+            else colors
+        )
+        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=sh_masks)
+        colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
+
+    # depth channel is always appended: the 2DGS kernel reads the last
+    # channel as depth for distortion/median (RasterizeToPixels2DGSFwd.cu:391)
+    colors_cn = jnp.concatenate([colors_cn, depths[..., None]], axis=-1)
+    if backgrounds is not None:
+        backgrounds = jnp.concatenate(
+            [backgrounds, jnp.zeros((C, 1), backgrounds.dtype)], axis=-1
+        )
+
+    (
+        render_colors, render_alphas, render_normals, render_distort,
+        render_median,
+    ) = rasterize_to_pixels_2dgs_ref(
+        means2d, ray_transforms, colors_cn, normals, opacities_cn,
+        radii, depths, width, height, tile_size, backgrounds,
+    )
+
+    if render_mode in ("ED", "RGB+ED"):
+        render_colors = jnp.concatenate(
+            [
+                render_colors[..., :-1],
+                render_colors[..., -1:] / jnp.clip(render_alphas, 1e-10, None),
+            ],
+            axis=-1,
+        )
+
+    # normals from depth for the normal-consistency loss
+    # (gsplat/rendering.py:1293-1302)
+    camtoworlds = jnp.linalg.inv(viewmats)
+    depth_map = render_colors[..., -1:]
+    normals_from_depth = depth_to_normal(depth_map, camtoworlds, Ks) * (
+        render_alphas
+    )
+
+    # rotate rendered normals into the world frame (gsplat/rendering.py:1327)
+    R_wc = jnp.swapaxes(viewmats[:, :3, :3], -1, -2)  # [C, 3, 3]
+    render_normals = jnp.einsum(
+        "cij,chwj->chwi", R_wc, render_normals
+    )
+
+    if render_mode in ("RGB",):
+        render_colors = render_colors[..., :-1]
+
+    return (
+        render_colors,
+        render_alphas,
+        render_normals,
+        normals_from_depth,
+        render_distort,
+        render_median,
+        meta,
+    )

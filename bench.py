@@ -90,8 +90,10 @@ def main():
 
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
+    for i in range(iters):
+        # vary one input per iteration: the remote execution layer memoizes
+        # identical (executable, args) dispatches, which would fake the timing
+        out = step(args[0] + np.float32(i + 1) * 1e-7, *args[1:])
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 

@@ -108,20 +108,33 @@ def isect_tiles(
         total_repeat_length=capacity,
     )  # [capacity]
     pos = jnp.arange(capacity, dtype=jnp.int32)
-    local = pos - starts[src].astype(jnp.int32)
 
-    rw = jnp.maximum(rect_w.reshape(-1)[src], 1)
-    tx = tile_mins[0].reshape(-1)[src] + local % rw
-    ty = tile_mins[1].reshape(-1)[src] + local // rw
+    # One multi-row gather instead of five: XLA TPU gather cost is dominated
+    # by per-index processing, so fetching all per-source emit attributes in
+    # a single [5, capacity] gather is ~5x cheaper than five 1-row gathers.
+    emit_rows = jnp.stack(
+        [
+            starts.astype(jnp.int32),
+            jnp.maximum(rect_w.reshape(-1), 1).astype(jnp.int32),
+            tile_mins[0].reshape(-1),
+            tile_mins[1].reshape(-1),
+            jax.lax.bitcast_convert_type(depths.reshape(-1), jnp.int32),
+        ],
+        axis=0,
+    )  # [5, C*N]
+    g = jnp.take(emit_rows, src, axis=1)  # [5, capacity]
+    local = pos - g[0]
+    rw = g[1]
+    tx = g[2] + local % rw
+    ty = g[3] + local // rw
     cam = src // N
 
     valid = pos < n_isects
     tile_keys = jnp.where(
         valid, cam * n_tiles + ty * tile_width + tx, C * n_tiles
     ).astype(jnp.int32)
-    depth_keys = jax.lax.bitcast_convert_type(
-        depths.reshape(-1)[src], jnp.int32
-    )  # depths > near_plane > 0 so f32 bit order == int32 order
+    # depths > near_plane > 0 so f32 bit order == int32 order
+    depth_keys = g[4]
     flatten_ids = jnp.where(valid, src, 0).astype(jnp.int32)
 
     tile_keys, depth_keys, flatten_ids = jax.lax.sort(

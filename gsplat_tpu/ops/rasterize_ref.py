@@ -127,3 +127,75 @@ def rasterize_to_pixels_ref(
         render.reshape(C, image_height, image_width, D),
         render_alphas.reshape(C, image_height, image_width, 1),
     )
+
+
+def rasterize_to_indices_in_range(
+    range_start: int,
+    range_end: int,
+    transmittances: jax.Array,  # [C, H, W] current per-pixel transmittance
+    means2d: jax.Array,  # [C, N, 2]
+    conics: jax.Array,  # [C, N, 3]
+    opacities: jax.Array,  # [C, N]
+    radii: jax.Array,  # [C, N]
+    depths: jax.Array,  # [C, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int = 16,
+):
+    """Which (pixel, gaussian) pairs contribute within a depth-rank range.
+
+    Parity: gsplat/cuda/_wrapper.rasterize_to_indices_in_range
+    (csrc/RasterizeToIndices3DGS.cu), which returns dynamically-sized
+    (gs_ids, pixel_ids, camera_ids) COO lists for the iterative
+    torch-autograd pipeline. Dynamic shapes don't exist on TPU, so this
+    returns the dense boolean contribution mask [C, H*W, range] plus the
+    per-pair alpha — callers iterate fixed-size depth-rank windows instead
+    of dynamic batches (same information, static shapes).
+    """
+    C, N, _ = means2d.shape
+    depth_bits = jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(depths), jnp.int32
+    )
+    order = jnp.argsort(depth_bits, axis=-1, stable=True)
+    sel = order[:, range_start:range_end]  # [C, R]
+
+    def take(x):
+        return jnp.take_along_axis(
+            x, sel.reshape(sel.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+
+    means2d = take(means2d)
+    conics = take(conics)
+    opacities = take(opacities[..., None])[..., 0]
+    radii = take(radii[..., None])[..., 0]
+
+    py, px = jnp.mgrid[0:image_height, 0:image_width]
+    px = px.reshape(-1).astype(jnp.float32) + 0.5
+    py = py.reshape(-1).astype(jnp.float32) + 0.5
+    ptx = (px - 0.5).astype(jnp.int32) // tile_size
+    pty = (py - 0.5).astype(jnp.int32) // tile_size
+
+    tile_means = jax.lax.stop_gradient(means2d) / tile_size
+    tile_r = (radii / tile_size)[..., None]
+    tmin = jnp.floor(tile_means - tile_r).astype(jnp.int32)
+    tmax = jnp.ceil(tile_means + tile_r).astype(jnp.int32)
+
+    dx = px[None, :, None] - means2d[:, None, :, 0]
+    dy = py[None, :, None] - means2d[:, None, :, 1]
+    a, b, c = (conics[:, None, :, i] for i in range(3))
+    sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+    alpha = jnp.clip(opacities[:, None, :] * jnp.exp(-sigma), None, ALPHA_MAX)
+    in_rect = (
+        (ptx[None, :, None] >= tmin[:, None, :, 0])
+        & (ptx[None, :, None] < tmax[:, None, :, 0])
+        & (pty[None, :, None] >= tmin[:, None, :, 1])
+        & (pty[None, :, None] < tmax[:, None, :, 1])
+    )
+    valid = (
+        (alpha >= ALPHA_MIN) & (sigma >= 0.0) & (radii[:, None, :] > 0) & in_rect
+    )
+    T0 = transmittances.reshape(C, -1)[..., None]
+    log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
+    logT_incl = jnp.log(jnp.clip(T0, 1e-12, None)) + jnp.cumsum(log1m, axis=-1)
+    contrib = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
+    return contrib, alpha, sel

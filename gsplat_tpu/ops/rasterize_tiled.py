@@ -524,8 +524,11 @@ def rasterize_to_pixels_tiled(
         [isect.offsets.reshape(-1), isect.n_isects[None]]
     ).astype(jnp.int32)
     tk = jnp.minimum(isect.tile_keys, T)  # padding sentinel -> T
-    rank = jnp.arange(cap, dtype=jnp.int32) - offs_by_tile[tk]
-    newpos = aoff[tk] + rank
+    # single 2-row table lookup (gather cost is per-index, not per-row)
+    tables = jnp.stack([offs_by_tile, aoff], axis=0)  # [2, T+1]
+    looked = jnp.take(tables, tk, axis=1)  # [2, cap]
+    rank = jnp.arange(cap, dtype=jnp.int32) - looked[0]
+    newpos = looked[1] + rank
     ids_al = (
         jnp.zeros((capA,), jnp.int32).at[newpos].set(isect.flatten_ids, mode="drop")
     )

@@ -88,6 +88,8 @@ def main():
     from PIL import Image
 
     colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
+    on_tpu = jax.default_backend() == "tpu"
+    isect_capacity = 2**22 if on_tpu else None
     frames = []
     for i in range(len(c2w)):
         render, _, _ = rasterization(
@@ -102,6 +104,8 @@ def main():
             H,
             sh_degree=args.sh_degree,
             masks=live,
+            backend="tiled" if on_tpu else "oracle",
+            isect_capacity=isect_capacity,
         )
         img = (np.clip(np.asarray(render[0]), 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img).save(

@@ -7,6 +7,7 @@ Pallas kernels, shard_map parallelism. See SURVEY.md at the repo root.
 """
 
 from ._helper import load_test_data
+from .compression import PngCompression
 from .ops import (
     fully_fused_projection,
     isect_tiles,
@@ -14,7 +15,16 @@ from .ops import (
     rasterize_to_pixels_ref,
     spherical_harmonics,
 )
-from .rendering import rasterization
+from .ops.isect import isect_offset_encode
+from .ops.projection import fully_fused_projection_soa, proj, world_to_cam
+from .ops.projection_2dgs import fully_fused_projection_2dgs
+from .ops.rasterize_ref import rasterize_to_indices_in_range
+from .ops.rasterize_2dgs_ref import (
+    rasterize_to_indices_in_range_2dgs,
+    rasterize_to_pixels_2dgs_ref,
+)
+from .optimizers import SelectiveAdam
+from .rendering import rasterization, rasterization_2dgs
 from .relocation import compute_relocation, make_binoms
 from .strategy import DefaultStrategy, MCMCStrategy, Strategy
 
@@ -22,6 +32,17 @@ __version__ = "0.1.0"
 
 __all__ = [
     "rasterization",
+    "rasterization_2dgs",
+    "PngCompression",
+    "SelectiveAdam",
+    "proj",
+    "world_to_cam",
+    "isect_offset_encode",
+    "fully_fused_projection_soa",
+    "fully_fused_projection_2dgs",
+    "rasterize_to_indices_in_range",
+    "rasterize_to_indices_in_range_2dgs",
+    "rasterize_to_pixels_2dgs_ref",
     "fully_fused_projection",
     "isect_tiles",
     "quat_scale_to_covar_preci",

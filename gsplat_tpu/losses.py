@@ -36,6 +36,10 @@ def _filter2d(img: jax.Array, window: jax.Array) -> jax.Array:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
+        # f32: at TPU-default bf16 conv precision the variance terms
+        # (E[x^2] - mu^2) cancel catastrophically on smooth renders and
+        # SSIM leaves [-1, 1]
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

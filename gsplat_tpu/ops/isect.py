@@ -162,3 +162,22 @@ def suggest_capacity(n_isects: int, slack: float = 1.3, align: int = 4096) -> in
     """Out-of-jit helper: next capacity given an observed intersection count."""
     cap = int(n_isects * slack) + align
     return (cap + align - 1) // align * align
+
+
+def isect_offset_encode(
+    tile_keys: jax.Array,  # [capacity] sorted (cam*n_tiles + tile) keys
+    n_cameras: int,
+    tile_width: int,
+    tile_height: int,
+) -> jax.Array:
+    """Sorted intersection keys -> per-(cam, tile) start offsets
+    [C, tile_height, tile_width] (parity: gsplat/cuda/_wrapper.
+    isect_offset_encode / triton_impl/isect_offset.py:8-33; the backfill
+    kernel becomes one searchsorted). `isect_tiles` already returns offsets;
+    this exists for API parity and for externally-sorted key streams."""
+    n_tiles = tile_width * tile_height
+    bounds = jnp.searchsorted(
+        tile_keys, jnp.arange(n_tiles * n_cameras, dtype=tile_keys.dtype),
+        side="left",
+    ).astype(jnp.int32)
+    return bounds.reshape(n_cameras, tile_height, tile_width)

@@ -384,3 +384,18 @@ def fully_fused_projection(
         conics,
         soa.get("compensation"),
     )
+
+
+def proj(
+    means: jax.Array,  # [C, N, 3] camera-frame
+    covars: jax.Array,  # [C, N, 3, 3] camera-frame
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    camera_model: str = "pinhole",
+) -> Tuple[jax.Array, jax.Array]:
+    """Standalone camera-space -> 2D projection (parity:
+    gsplat/cuda/_wrapper.proj, csrc/ProjectionEWASimple.cu). Returns
+    (means2d [C,N,2], covars2d [C,N,2,2])."""
+    fns = {"pinhole": persp_proj, "ortho": ortho_proj, "fisheye": fisheye_proj}
+    return fns[camera_model](means, covars, Ks, width, height)

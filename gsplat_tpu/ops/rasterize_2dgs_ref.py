@@ -150,3 +150,81 @@ def rasterize_to_pixels_2dgs_ref(
         distort.reshape(C, H, W, 1),
         median.reshape(C, H, W, 1),
     )
+
+
+def rasterize_to_indices_in_range_2dgs(
+    range_start: int,
+    range_end: int,
+    transmittances: jax.Array,  # [C, H, W]
+    means2d: jax.Array,  # [C, N, 2]
+    ray_transforms: jax.Array,  # [C, N, 3, 3]
+    opacities: jax.Array,  # [C, N]
+    radii: jax.Array,  # [C, N]
+    depths: jax.Array,  # [C, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int = 16,
+):
+    """2DGS variant of rasterize_to_indices_in_range (parity:
+    gsplat/cuda/_wrapper.rasterize_to_indices_in_range_2dgs,
+    csrc/RasterizeToIndices2DGS.cu). Static-shape: returns the dense
+    contribution mask [C, H*W, range] and per-pair alpha instead of dynamic
+    COO lists."""
+    C, N, _ = means2d.shape
+    depth_bits = jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(depths), jnp.int32
+    )
+    order = jnp.argsort(depth_bits, axis=-1, stable=True)
+    sel = order[:, range_start:range_end]
+
+    def take(x):
+        return jnp.take_along_axis(
+            x, sel.reshape(sel.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+
+    means2d = take(means2d)
+    M = take(ray_transforms.reshape(C, N, 9)).reshape(
+        C, sel.shape[1], 3, 3
+    )
+    opacities = take(opacities[..., None])[..., 0]
+    radii = take(radii[..., None])[..., 0]
+
+    py, px = jnp.mgrid[0:image_height, 0:image_width]
+    px = px.reshape(-1).astype(jnp.float32) + 0.5
+    py = py.reshape(-1).astype(jnp.float32) + 0.5
+    ptx = (px - 0.5).astype(jnp.int32) // tile_size
+    pty = (py - 0.5).astype(jnp.int32) // tile_size
+
+    tile_means = jax.lax.stop_gradient(means2d) / tile_size
+    tile_r = (radii / tile_size)[..., None]
+    tmin = jnp.floor(tile_means - tile_r).astype(jnp.int32)
+    tmax = jnp.ceil(tile_means + tile_r).astype(jnp.int32)
+
+    Mx = M[:, None, :, 0, :]
+    My = M[:, None, :, 1, :]
+    Mz = M[:, None, :, 2, :]
+    h_u = -Mx + Mz * px[None, :, None, None]
+    h_v = -My + Mz * py[None, :, None, None]
+    cr = jnp.cross(h_u, h_v)
+    crz = jnp.where(jnp.abs(cr[..., 2]) < 1e-12, 1e-12, cr[..., 2])
+    us, vs = cr[..., 0] / crz, cr[..., 1] / crz
+    sigma_3d = us * us + vs * vs
+    dx = px[None, :, None] - means2d[:, None, :, 0]
+    dy = py[None, :, None] - means2d[:, None, :, 1]
+    sigma = 0.5 * jnp.minimum(sigma_3d, 2.0 * (dx * dx + dy * dy))
+    alpha = jnp.clip(opacities[:, None, :] * jnp.exp(-sigma), None, ALPHA_MAX)
+
+    in_rect = (
+        (ptx[None, :, None] >= tmin[:, None, :, 0])
+        & (ptx[None, :, None] < tmax[:, None, :, 0])
+        & (pty[None, :, None] >= tmin[:, None, :, 1])
+        & (pty[None, :, None] < tmax[:, None, :, 1])
+    )
+    valid = (
+        (alpha >= ALPHA_MIN) & (sigma >= 0.0) & (radii[:, None, :] > 0) & in_rect
+    )
+    T0 = transmittances.reshape(C, -1)[..., None]
+    log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
+    logT_incl = jnp.log(jnp.clip(T0, 1e-12, None)) + jnp.cumsum(log1m, axis=-1)
+    contrib = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
+    return contrib, alpha, sel

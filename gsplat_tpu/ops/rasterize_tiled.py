@@ -546,6 +546,10 @@ def rasterize_to_pixels_tiled(
     ] + [colors[..., d].reshape(-1) for d in range(D)]
     rows += [jnp.zeros((C * N,), jnp.float32)] * (F - len(rows))
     packed = jnp.stack(rows, axis=0).astype(jnp.float32)  # [F, C*N]
+    # Materialization barrier: fusing the gather with its producers makes
+    # XLA pick a slow per-element gather path (~4x, measured); a standalone
+    # gather over a materialized table runs near the per-index floor.
+    packed, ids_al = jax.lax.optimization_barrier((packed, ids_al))
     entries = jnp.take(packed, ids_al, axis=1)  # [F, capA]
 
     cfg = (T, th, tw, ts, P, D, Dp, F, K, capA, _interpret())

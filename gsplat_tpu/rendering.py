@@ -310,13 +310,33 @@ def rasterization_2dgs(
             [backgrounds, jnp.zeros((C, 1), backgrounds.dtype)], axis=-1
         )
 
-    (
-        render_colors, render_alphas, render_normals, render_distort,
-        render_median,
-    ) = rasterize_to_pixels_2dgs_ref(
-        means2d, ray_transforms, colors_cn, normals, opacities_cn,
-        radii, depths, width, height, tile_size, backgrounds,
-    )
+    if backend == "auto":
+        backend = "tiled" if isect_capacity is not None else "oracle"
+    if backend == "tiled":
+        from .ops.rasterize_2dgs_tiled import rasterize_to_pixels_2dgs_tiled
+
+        tile_width = math.ceil(width / tile_size)
+        tile_height = math.ceil(height / tile_size)
+        isect = isect_tiles(
+            means2d, radii, depths, tile_size, tile_width, tile_height,
+            capacity=isect_capacity,
+        )
+        meta["n_isects"] = isect.n_isects
+        (
+            render_colors, render_alphas, render_normals, render_distort,
+            render_median,
+        ) = rasterize_to_pixels_2dgs_tiled(
+            means2d, ray_transforms, colors_cn, normals, opacities_cn,
+            width, height, tile_size, isect, backgrounds,
+        )
+    else:
+        (
+            render_colors, render_alphas, render_normals, render_distort,
+            render_median,
+        ) = rasterize_to_pixels_2dgs_ref(
+            means2d, ray_transforms, colors_cn, normals, opacities_cn,
+            radii, depths, width, height, tile_size, backgrounds,
+        )
 
     if render_mode in ("ED", "RGB+ED"):
         render_colors = jnp.concatenate(

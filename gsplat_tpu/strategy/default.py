@@ -82,8 +82,19 @@ class DefaultStrategy(Strategy):
         state: Dict[str, Any],
         step: int,
         key: jax.Array,
+        use_scale2d: bool = None,
+        prune_too_big: bool = None,
     ) -> Tuple[Dict[str, jax.Array], jax.Array, Any, Dict[str, Any]]:
-        """Grow (duplicate + split) then prune (default.py:162-193)."""
+        """Grow (duplicate + split) then prune (default.py:162-193).
+
+        The two schedule-dependent branches can be passed explicitly as
+        static booleans (`use_scale2d` = radii-based split/prune active,
+        `prune_too_big` = world/screen-size pruning active); by default they
+        derive from `step` like the reference."""
+        if use_scale2d is None:
+            use_scale2d = step < self.refine_scale2d_stop_iter
+        if prune_too_big is None:
+            prune_too_big = step > self.reset_every
         k_dup, k_split = jax.random.split(key)
         grads = state["grad2d"] / jnp.clip(state["count"], 1.0, None)
         is_grad_high = (grads > self.grow_grad2d) & live
@@ -93,7 +104,7 @@ class DefaultStrategy(Strategy):
         )
         is_dupli = is_grad_high & is_small
         is_split = is_grad_high & ~is_small
-        if step < self.refine_scale2d_stop_iter and "radii" in state:
+        if use_scale2d and "radii" in state:
             is_split = is_split | (live & (state["radii"] > self.grow_scale2d))
 
         params, live, opt_state, state = ops.duplicate(
@@ -111,12 +122,12 @@ class DefaultStrategy(Strategy):
         )
 
         is_prune = live & (jax.nn.sigmoid(params["opacities"]) < self.prune_opa)
-        if step > self.reset_every:
+        if prune_too_big:
             is_too_big = (
                 jnp.exp(params["scales"]).max(axis=-1)
                 > self.prune_scale3d * state["scene_scale"]
             )
-            if step < self.refine_scale2d_stop_iter and "radii" in state:
+            if use_scale2d and "radii" in state:
                 is_too_big = is_too_big | (state["radii"] > self.prune_scale2d)
             is_prune = is_prune | (live & is_too_big)
         live = ops.remove(live, is_prune)
@@ -127,6 +138,12 @@ class DefaultStrategy(Strategy):
         if "radii" in state:
             state["radii"] = jnp.zeros_like(state["radii"])
         return params, live, opt_state, state
+
+    def _jitted(self, name, fn):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
 
     def step_post_backward(
         self,
@@ -141,19 +158,40 @@ class DefaultStrategy(Strategy):
     ):
         """Python-level driver: accumulate stats every step, refine/reset on
         schedule (default.py:152-201). `step` is a Python int, so schedule
-        branches stay out of the traced graph."""
-        state = self.update_state(state, meta, v_means2d)
+        branches stay out of the traced graph; the traced bodies are
+        jit-cached (one compile per static branch combination)."""
+
+        def upd(state, radii, v_means2d):
+            m = dict(meta)
+            m["radii"] = radii
+            return self.update_state(state, m, v_means2d)
+
+        state = self._jitted(
+            ("upd", meta["width"], meta["height"], meta["n_cameras"]), upd
+        )(state, meta["radii"], v_means2d)
         if (
             self.refine_start_iter < step < self.refine_stop_iter
             and step % self.refine_every == 0
             and step % self.reset_every >= self.pause_refine_after_reset
         ):
-            params, live, opt_state, state = self.refine(
-                params, live, opt_state, state, step, key
+            flags = (
+                step < self.refine_scale2d_stop_iter,
+                step > self.reset_every,
             )
+
+            def refine(params, live, opt_state, state, key):
+                return self.refine(
+                    params, live, opt_state, state, step, key,
+                    use_scale2d=flags[0], prune_too_big=flags[1],
+                )
+
+            params, live, opt_state, state = self._jitted(
+                ("refine", flags), refine
+            )(params, live, opt_state, state, key)
         if step % self.reset_every == 0 and step > 0:
-            params, op_state = ops.reset_opa(
-                params, live, 2.0 * self.prune_opa, opt_state
-            )
+            params, op_state = self._jitted(
+                ("reset",),
+                lambda p, l, o: ops.reset_opa(p, l, 2.0 * self.prune_opa, o),
+            )(params, live, opt_state)
             opt_state = op_state if op_state is not None else opt_state
         return params, live, opt_state, state

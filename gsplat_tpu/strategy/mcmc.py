@@ -67,14 +67,19 @@ class MCMCStrategy(Strategy):
         """Relocate + grow on schedule, then inject position noise
         (mcmc.py:103-145). `lr` is the current means learning rate."""
         k_ref, k_noise = jax.random.split(key)
+        cache = self.__dict__.setdefault("_jit_cache", {})
         if (
             self.refine_start_iter < step < self.refine_stop_iter
             and step % self.refine_every == 0
         ):
-            params, live, opt_state = self.refine(
+            if "refine" not in cache:
+                cache["refine"] = jax.jit(
+                    lambda p, l, o, s_, k: self.refine(p, l, o, s_, k)
+                )
+            params, live, opt_state = cache["refine"](
                 params, live, opt_state, state, k_ref
             )
-        params = ops.inject_noise_to_position(
-            params, live, k_noise, scaler=lr * self.noise_lr
-        )
+        if "noise" not in cache:
+            cache["noise"] = jax.jit(ops.inject_noise_to_position)
+        params = cache["noise"](params, live, k_noise, scaler=lr * self.noise_lr)
         return params, live, opt_state, state

@@ -171,3 +171,20 @@ def test_rasterization_grads_flow():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+
+def test_ssim_bounded_on_smooth_images(rng):
+    """Regression: at TPU-default bf16 conv precision the SSIM variance
+    terms cancel on smooth renders and SSIM leaves [-1, 1]; the conv must
+    run at HIGHEST precision (losses.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gsplat_tpu.losses import ssim
+
+    x = np.linspace(0, 1, 128)[None, None, :, None] * np.ones((1, 96, 1, 3))
+    a = jnp.asarray(x.astype(np.float32))
+    b = a + jnp.asarray(rng.normal(0, 0.01, a.shape).astype(np.float32))
+    s_aa = float(ssim(a, a))
+    s_ab = float(ssim(a, b))
+    assert abs(s_aa - 1.0) < 1e-5
+    assert -1.0 <= s_ab <= 1.0

@@ -44,7 +44,19 @@ from gsplat_tpu.datasets import Dataset, Parser
 from gsplat_tpu.losses import psnr as psnr_fn
 from gsplat_tpu.losses import ssim as ssim_fn
 from gsplat_tpu.losses import train_loss
-from gsplat_tpu.modules import knn_distances, rgb_to_sh
+from gsplat_tpu.bilagrid import (
+    init_bilateral_grid,
+    slice_grid,
+    total_variation_loss,
+)
+from gsplat_tpu.modules import (
+    apply_appearance_opt,
+    apply_camera_opt,
+    init_appearance_opt,
+    init_camera_opt,
+    knn_distances,
+    rgb_to_sh,
+)
 from gsplat_tpu.optimizers import SelectiveAdam
 from gsplat_tpu.strategy import DefaultStrategy, MCMCStrategy
 from gsplat_tpu.utils import save_ply
@@ -72,6 +84,7 @@ class Config:
     far_plane: float = 1e10
     antialiased: bool = False
     random_bkgd: bool = False
+    white_bkgd: bool = False  # composite over white (synthetic datasets)
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
     means_lr: float = 1.6e-4
@@ -91,6 +104,21 @@ class Config:
     # MCMC knobs
     cap_max: int = 1_000_000
     noise_lr: float = 5e5
+    # auxiliary modules (reference simple_trainer.py:380-451)
+    pose_opt: bool = False
+    pose_opt_lr: float = 1e-5
+    pose_opt_reg: float = 1e-6
+    pose_noise: float = 0.0
+    app_opt: bool = False
+    app_opt_lr: float = 1e-3
+    app_opt_reg: float = 1e-6
+    app_embed_dim: int = 16
+    app_feature_dim: int = 32
+    use_bilateral_grid: bool = False
+    bilateral_grid_lr: float = 2e-3
+    bilateral_tv_lambda: float = 10.0
+    depth_loss: bool = False
+    depth_lambda: float = 1e-2
     # TPU pool management
     pool_headroom: float = 2.0  # initial capacity = N0 * headroom
     pool_grow_at: float = 0.9  # grow pool when live fraction exceeds this
@@ -183,9 +211,17 @@ def create_splats(cfg: Config, parser: Parser, cap: int, key) -> Dict[str, jnp.n
                     np.float32),
             fill=-10.0,
         ),
-        "sh0": pad(sh0.astype(np.float32)),
-        "shN": jnp.zeros((cap, K - 1, 3), jnp.float32),
     }
+    if cfg.app_opt:
+        # appearance mode: per-gaussian base color + feature vector
+        # (reference simple_trainer.py:246-254)
+        params["colors"] = pad(np.log(rgbs / (1 - np.clip(rgbs, 1e-3, 1 - 1e-3))))
+        params["features"] = jnp.asarray(
+            rng.standard_normal((cap, cfg.app_feature_dim)).astype(np.float32)
+        )
+    else:
+        params["sh0"] = pad(sh0.astype(np.float32))
+        params["shN"] = jnp.zeros((cap, K - 1, 3), jnp.float32)
     live = jnp.arange(cap) < n0
     return params, live
 
@@ -198,7 +234,9 @@ class Runner:
             cfg.data_dir, factor=cfg.data_factor, normalize=True,
             test_every=cfg.test_every,
         )
-        self.trainset = Dataset(self.parser, split="train")
+        self.trainset = Dataset(
+            self.parser, split="train", load_depths=cfg.depth_loss
+        )
         self.valset = Dataset(self.parser, split="val")
         self.scene_scale = self.parser.scene_scale * 1.1
         print(f"scene scale: {self.scene_scale:.3f}; "
@@ -239,6 +277,37 @@ class Runner:
         )
 
         self._build_optimizers()
+
+        # auxiliary trainable modules (pose / appearance / bilateral grid)
+        import optax
+
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        self.aux_params, self.aux_txs, self.aux_states = {}, {}, {}
+        n_imgs = len(self.trainset)
+        if cfg.pose_opt:
+            self.aux_params["pose"] = init_camera_opt(n_imgs)
+            self.aux_txs["pose"] = optax.adamw(
+                cfg.pose_opt_lr, weight_decay=cfg.pose_opt_reg
+            )
+        if cfg.app_opt:
+            self.aux_params["app"] = init_appearance_opt(
+                n_imgs, cfg.app_feature_dim, key,
+                embed_dim=cfg.app_embed_dim, sh_degree=cfg.sh_degree,
+            )
+            self.aux_txs["app"] = optax.adamw(
+                cfg.app_opt_lr, weight_decay=cfg.app_opt_reg
+            )
+        if cfg.use_bilateral_grid:
+            self.aux_params["bilagrid"] = init_bilateral_grid(n_imgs)
+            self.aux_txs["bilagrid"] = optax.adam(cfg.bilateral_grid_lr)
+        for k in self.aux_params:
+            trainable = {
+                kk: vv for kk, vv in self.aux_params[k].items()
+                if hasattr(vv, "dtype") and jnp.issubdtype(vv.dtype, jnp.floating)
+            }
+            self.aux_states[k] = self.aux_txs[k].init(trainable)
+
+        self.pose_noise_key = jax.random.PRNGKey(cfg.seed + 2)
         self.isect_capacity = _round_up(int(4e6), 4096) if self._on_tpu else None
         self._step_fn = None  # compiled lazily; rebuilt on pool growth
 
@@ -262,9 +331,12 @@ class Runner:
             "opacities": cfg.opacities_lr,
             "sh0": cfg.sh0_lr,
             "shN": cfg.shN_lr,
+            # appearance mode (reference simple_trainer.py:246-254)
+            "colors": cfg.sh0_lr,
+            "features": cfg.sh0_lr,
         }
         self.optimizers = {
-            k: SelectiveAdam(lr, eps=1e-15) for k, lr in lrs.items()
+            k: SelectiveAdam(lrs[k], eps=1e-15) for k in self.params
         }
         self.opt_states = {
             k: self.optimizers[k].init(self.params[k]) for k in self.params
@@ -316,37 +388,89 @@ class Runner:
         backend = "tiled" if self._on_tpu else "oracle"
         isect_capacity = self.isect_capacity
         optimizers = self.optimizers
+        aux_txs = self.aux_txs
+        render_mode = "RGB+ED" if cfg.depth_loss else "RGB"
 
-        def step_fn(params, opt_states, live, camtoworlds, Ks, pixels, bkgd, key):
+        def step_fn(
+            params, opt_states, live, aux_params, aux_states,
+            camtoworlds, Ks, pixels, image_ids, bkgd, pts, pt_depths, key,
+        ):
             cap = live.shape[0]
             B = camtoworlds.shape[0]
             carrier = jnp.zeros((B, cap, 2), jnp.float32)
 
-            def loss_fn(params, carrier):
-                colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
+            def loss_fn(params, aux_params, carrier):
+                c2w = camtoworlds
+                if "pose" in aux_params:
+                    c2w = apply_camera_opt(aux_params["pose"], c2w, image_ids)
+                viewmats = jnp.linalg.inv(c2w)
+
+                if cfg.app_opt:
+                    dirs = (
+                        params["means"][None, :, :] - c2w[:, None, :3, 3]
+                    )
+                    colors = apply_appearance_opt(
+                        aux_params["app"], params["features"], image_ids,
+                        dirs, sh_degree,
+                    )
+                    colors = jax.nn.sigmoid(colors + params["colors"][None])
+                    sh_deg_arg = None
+                else:
+                    colors = jnp.concatenate(
+                        [params["sh0"], params["shN"]], axis=1
+                    )
+                    sh_deg_arg = sh_degree
+
                 render, alphas, meta = rasterization(
                     params["means"],
                     params["quats"],
                     jnp.exp(params["scales"]),
                     jax.nn.sigmoid(params["opacities"]),
                     colors,
-                    jnp.linalg.inv(camtoworlds),
+                    viewmats,
                     Ks,
                     width,
                     height,
-                    sh_degree=sh_degree,
+                    sh_degree=sh_deg_arg,
                     near_plane=cfg.near_plane,
                     far_plane=cfg.far_plane,
                     rasterize_mode="antialiased" if cfg.antialiased else "classic",
+                    render_mode=render_mode,
                     backend=backend,
                     isect_capacity=isect_capacity,
                     means2d_carrier=carrier,
                     masks=live,
                     tile_size=cfg.tile_size,
                 )
+                if cfg.depth_loss:
+                    depths_map = render[..., -1:]
+                    render = render[..., :-1]
+                if "bilagrid" in aux_params:
+                    render = slice_grid(aux_params["bilagrid"], image_ids, render)
                 if bkgd is not None:
                     render = render + bkgd * (1.0 - alphas)
                 loss = train_loss(render, pixels, cfg.ssim_lambda)
+                if cfg.depth_loss:
+                    # disparity L1 at SfM projections
+                    # (reference simple_trainer.py:647-668)
+                    xi = jnp.clip(pts[..., 0].astype(jnp.int32), 0, width - 1)
+                    yi = jnp.clip(pts[..., 1].astype(jnp.int32), 0, height - 1)
+                    d_pred = depths_map[
+                        jnp.arange(B)[:, None], yi, xi, 0
+                    ]  # [B, P]
+                    valid = pt_depths > 0
+                    disp = jnp.where(valid, 1.0 / jnp.clip(d_pred, 1e-6, None), 0.0)
+                    disp_gt = jnp.where(
+                        valid, 1.0 / jnp.clip(pt_depths, 1e-6, None), 0.0
+                    )
+                    nl = jnp.clip(jnp.sum(valid), 1, None)
+                    loss = loss + cfg.depth_lambda * jnp.sum(
+                        jnp.abs(disp - disp_gt)
+                    ) / nl * self.scene_scale
+                if "bilagrid" in aux_params:
+                    loss = loss + cfg.bilateral_tv_lambda * total_variation_loss(
+                        aux_params["bilagrid"]["grids"]
+                    )
                 if cfg.opacity_reg > 0.0:
                     op = jnp.where(live, jax.nn.sigmoid(params["opacities"]), 0.0)
                     loss = loss + cfg.opacity_reg * jnp.sum(op) / jnp.sum(live)
@@ -359,9 +483,9 @@ class Runner:
                 }
                 return loss, aux
 
-            (loss, aux), (g_params, g_carrier) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(params, carrier)
+            (loss, aux), (g_params, g_aux, g_carrier) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(params, aux_params, carrier)
 
             visibility = jnp.any(aux["radii"] > 0, axis=0)  # [cap]
             new_states = {}
@@ -371,9 +495,30 @@ class Runner:
                 )
                 params = {**params, k: params[k] + upd}
                 new_states[k] = st
-            return params, new_states, loss, aux["radii"], g_carrier, aux["n_isects"]
 
-        return jax.jit(step_fn, donate_argnums=(0, 1))
+            import optax as _optax
+
+            new_aux_states = {}
+            new_aux_params = dict(aux_params)
+            for k in aux_params:
+                trainable = {
+                    kk: vv for kk, vv in aux_params[k].items()
+                    if hasattr(vv, "dtype")
+                    and jnp.issubdtype(vv.dtype, jnp.floating)
+                }
+                g_tr = {kk: g_aux[k][kk] for kk in trainable}
+                upd, st = aux_txs[k].update(g_tr, aux_states[k], trainable)
+                new_aux_params[k] = {
+                    **aux_params[k], **_optax.apply_updates(trainable, upd)
+                }
+                new_aux_states[k] = st
+
+            return (
+                params, new_states, new_aux_params, new_aux_states,
+                loss, aux["radii"], g_carrier, aux["n_isects"],
+            )
+
+        return jax.jit(step_fn, donate_argnums=(0, 1, 3, 4))
 
     # --- training loop ------------------------------------------------------
 
@@ -406,16 +551,35 @@ class Runner:
                 step_img_shape = (W, H, sh_degree)
 
             key, k_step, k_strat = jax.random.split(key, 3)
-            bkgd = (
-                jax.random.uniform(k_step, (1, 1, 1, 3))
-                if cfg.random_bkgd
-                else None
-            )
+            if cfg.random_bkgd:
+                bkgd = jax.random.uniform(k_step, (1, 1, 1, 3))
+            elif cfg.white_bkgd:
+                bkgd = jnp.ones((1, 1, 1, 3))
+            else:
+                bkgd = None
+            image_ids = jnp.asarray([data["image_id"]], jnp.int32)
+            P_MAX = 4096
+            if cfg.depth_loss and "points" in data:
+                p_np = data["points"][:P_MAX]
+                d_np = data["depths"][:P_MAX]
+                pad = P_MAX - len(p_np)
+                pts = jnp.asarray(
+                    np.pad(p_np, ((0, pad), (0, 0))), jnp.float32
+                )[None]
+                pt_depths = jnp.asarray(
+                    np.pad(d_np, (0, pad)), jnp.float32
+                )[None]
+            else:
+                pts = jnp.zeros((1, P_MAX, 2), jnp.float32)
+                pt_depths = jnp.zeros((1, P_MAX), jnp.float32)
             (
-                self.params, self.opt_states, loss, radii, g_carrier, n_isects
+                self.params, self.opt_states, self.aux_params,
+                self.aux_states, loss, radii, g_carrier, n_isects
             ) = self._step_fn(
                 self.params, self.opt_states, self.live,
-                camtoworlds, Ks, pixels, bkgd, k_step,
+                self.aux_params, self.aux_states,
+                camtoworlds, Ks, pixels, image_ids, bkgd, pts, pt_depths,
+                k_step,
             )
 
             meta = {
@@ -464,6 +628,30 @@ class Runner:
         print(f"training done in {(time.time() - t_start) / 60:.1f} min")
 
     def render(self, camtoworlds, Ks, width, height, sh_degree=None):
+        if self.cfg.app_opt:
+            dirs = self.params["means"][None, :, :] - camtoworlds[:, None, :3, 3]
+            colors = apply_appearance_opt(
+                self.aux_params["app"], self.params["features"], None,
+                dirs, self.cfg.sh_degree if sh_degree is None else sh_degree,
+            )
+            colors = jax.nn.sigmoid(colors + self.params["colors"][None])
+            sh_degree = None
+            return rasterization(
+                self.params["means"],
+                self.params["quats"],
+                jnp.exp(self.params["scales"]),
+                jax.nn.sigmoid(self.params["opacities"]),
+                colors,
+                jnp.linalg.inv(camtoworlds),
+                Ks,
+                width,
+                height,
+                sh_degree=None,
+                backend="tiled" if self._on_tpu else "oracle",
+                isect_capacity=self.isect_capacity,
+                masks=self.live,
+                tile_size=self.cfg.tile_size,
+            )
         colors = jnp.concatenate([self.params["sh0"], self.params["shN"]], axis=1)
         backend = "tiled" if self._on_tpu else "oracle"
         return rasterization(
@@ -490,11 +678,13 @@ class Runner:
             data = self.valset[i]
             pixels = jnp.asarray(data["image"])[None]
             H, W = pixels.shape[1:3]
-            render, _, _ = self.render(
+            render, alphas_e, _ = self.render(
                 jnp.asarray(data["camtoworld"])[None],
                 jnp.asarray(data["K"])[None],
                 W, H,
             )
+            if self.cfg.white_bkgd:
+                render = render + (1.0 - alphas_e)
             render = jnp.clip(render, 0.0, 1.0)
             psnrs.append(float(psnr_fn(render, pixels)))
             ssims.append(float(ssim_fn(render, pixels)))

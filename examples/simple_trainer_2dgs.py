@@ -49,6 +49,8 @@ class Runner2DGS(Runner):
         optimizers = self.optimizers
         use_normal = self._cur_step >= self.normal_start
         use_dist = self._cur_step >= self.dist_start
+        backend = "tiled" if self._on_tpu else "oracle"
+        isect_capacity = self.isect_capacity
 
         def step_fn(params, opt_states, live, camtoworlds, Ks, pixels, bkgd, key):
             cap = live.shape[0]
@@ -75,6 +77,8 @@ class Runner2DGS(Runner):
                     densify_carrier=carrier,
                     masks=live,
                     tile_size=cfg.tile_size,
+                    backend=backend,
+                    isect_capacity=isect_capacity,
                 )
                 loss = train_loss(render, pixels, cfg.ssim_lambda)
                 if use_normal:
@@ -88,7 +92,7 @@ class Runner2DGS(Runner):
                     loss = loss + self.dist_lambda * jnp.mean(distort)
                 aux = {
                     "radii": meta["radii"],
-                    "n_isects": jnp.int32(0),
+                    "n_isects": meta.get("n_isects", jnp.int32(0)),
                 }
                 return loss, aux
 
@@ -157,6 +161,7 @@ class Runner2DGS(Runner):
                     f"n_live={int(jnp.sum(self.live))} "
                     f"({time.time() - t_start:.0f}s)", flush=True,
                 )
+                self._maybe_grow(int(n_isects))
             if step + 1 in cfg.eval_steps:
                 self.eval(step + 1)
             if step + 1 in cfg.save_steps:
@@ -177,6 +182,8 @@ class Runner2DGS(Runner):
             sh_degree=self.cfg.sh_degree if sh_degree is None else sh_degree,
             masks=self.live,
             tile_size=self.cfg.tile_size,
+            backend="tiled" if self._on_tpu else "oracle",
+            isect_capacity=self.isect_capacity,
         )
         return out[0], out[1], out[6]
 

@@ -215,7 +215,8 @@ def create_splats(cfg: Config, parser: Parser, cap: int, key) -> Dict[str, jnp.n
     if cfg.app_opt:
         # appearance mode: per-gaussian base color + feature vector
         # (reference simple_trainer.py:246-254)
-        params["colors"] = pad(np.log(rgbs / (1 - np.clip(rgbs, 1e-3, 1 - 1e-3))))
+        rgbs_c = np.clip(rgbs, 1e-3, 1 - 1e-3)
+        params["colors"] = pad(np.log(rgbs_c / (1 - rgbs_c)))
         params["features"] = jnp.asarray(
             rng.standard_normal((cap, cfg.app_feature_dim)).astype(np.float32)
         )

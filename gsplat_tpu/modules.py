@@ -72,18 +72,15 @@ def init_appearance_opt(
     keys = jax.random.split(key, mlp_depth + 2)
     in_dim = embed_dim + feature_dim + (sh_degree + 1) ** 2
     dims = [in_dim] + [mlp_width] * mlp_depth + [3]
-    params = {
-        "embeds": jnp.zeros((n, embed_dim), jnp.float32),
-        "sh_degree": sh_degree,
-        "embed_dim": embed_dim,
-    }
+    # every leaf is a float array: the whole dict is differentiable; the
+    # static config (embed_dim, sh_degree, depth) is recovered from shapes
+    params = {"embeds": jnp.zeros((n, embed_dim), jnp.float32)}
     for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
         lim = float(np.sqrt(1.0 / din))
         params[f"w{i}"] = jax.random.uniform(
             keys[i], (din, dout), jnp.float32, -lim, lim
         )
         params[f"b{i}"] = jnp.zeros((dout,), jnp.float32)
-    params["n_layers"] = len(dims) - 1
     return params
 
 
@@ -96,16 +93,18 @@ def apply_appearance_opt(
 ) -> jax.Array:
     """Returns per-(camera, gaussian) color offsets [C, N, 3]."""
     C, N = dirs.shape[:2]
-    embed_dim = params["embed_dim"]
+    embed_dim = params["embeds"].shape[1]
+    n_layers = sum(1 for k in params if k.startswith("w"))
+    feature_dim = features.shape[-1]
+    num_bases = params["w0"].shape[0] - embed_dim - feature_dim
     if embed_ids is None:
         embeds = jnp.zeros((C, embed_dim), jnp.float32)
     else:
         embeds = params["embeds"][embed_ids]
     embeds = jnp.broadcast_to(embeds[:, None, :], (C, N, embed_dim))
-    feats = jnp.broadcast_to(features[None], (C, N, features.shape[-1]))
+    feats = jnp.broadcast_to(features[None], (C, N, feature_dim))
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
-    num_bases = (params["sh_degree"] + 1) ** 2
-    use = (sh_degree + 1) ** 2
+    use = min((sh_degree + 1) ** 2, num_bases)
     bases = eval_sh_bases(use, dirs)  # [C, N, use]
     bases = jnp.pad(bases, ((0, 0), (0, 0), (0, num_bases - use)))
     h = (
@@ -113,9 +112,9 @@ def apply_appearance_opt(
         if embed_dim > 0
         else jnp.concatenate([feats, bases], axis=-1)
     )
-    for i in range(params["n_layers"]):
+    for i in range(n_layers):
         h = h @ params[f"w{i}"] + params[f"b{i}"]
-        if i < params["n_layers"] - 1:
+        if i < n_layers - 1:
             h = jax.nn.relu(h)
     return h
 

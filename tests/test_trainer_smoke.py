@@ -1,0 +1,108 @@
+"""End-to-end trainer smoke test on a tiny synthetic COLMAP scene (CPU).
+
+Covers the aux-module flags (pose_opt, app_opt, bilateral grid, depth loss)
+through real train steps — the reference has no trainer-level test at all.
+"""
+
+import importlib.util
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+_EX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+sys.path.insert(0, _EX)
+
+
+def _load_trainer():
+    spec = importlib.util.spec_from_file_location(
+        "simple_trainer", os.path.join(_EX, "simple_trainer.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["simple_trainer"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _tiny_colmap(out, rng, n_pts=300, n_cams=6, W=48, H=36):
+    from gsplat_tpu.datasets.colmap_io import qvec_to_rotmat  # noqa: F401
+    os.makedirs(os.path.join(out, "sparse", "0"), exist_ok=True)
+    os.makedirs(os.path.join(out, "images"), exist_ok=True)
+    pts = rng.standard_normal((n_pts, 3)).astype(np.float32) * 0.5
+    cols = rng.random((n_pts, 3)).astype(np.float32)
+    f = 0.8 * W
+
+    sp = os.path.join(out, "sparse", "0")
+    with open(os.path.join(sp, "cameras.bin"), "wb") as fo:
+        fo.write(struct.pack("<Q", 1))
+        fo.write(struct.pack("<iiQQ", 1, 1, W, H))
+        fo.write(struct.pack("<4d", f, f, W / 2, H / 2))
+
+    from PIL import Image
+
+    names = []
+    with open(os.path.join(sp, "images.bin"), "wb") as fo:
+        fo.write(struct.pack("<Q", n_cams))
+        for i in range(n_cams):
+            th = 2 * np.pi * i / n_cams
+            # w2c with camera on a circle looking at origin: keep it simple,
+            # identity rotation + z-offset translation variants
+            q = np.array([1.0, 0, 0, 0])
+            t = np.array([0.3 * np.cos(th), 0.3 * np.sin(th), 3.0])
+            fo.write(struct.pack("<i", i + 1))
+            fo.write(struct.pack("<7d", *q, *t))
+            fo.write(struct.pack("<i", 1))
+            name = f"v{i:02d}.png"
+            names.append(name)
+            fo.write(name.encode() + b"\x00")
+            fo.write(struct.pack("<Q", 0))
+            img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(out, "images", name))
+
+    with open(os.path.join(sp, "points3D.bin"), "wb") as fo:
+        fo.write(struct.pack("<Q", n_pts))
+        for j in range(n_pts):
+            r, g, b = (cols[j] * 255).astype(np.uint8)
+            fo.write(struct.pack("<QdddBBBd", j + 1, *pts[j].astype(np.float64), r, g, b, 0.5))
+            fo.write(struct.pack("<Q", 0))
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        {},
+        {"pose_opt": True, "use_bilateral_grid": True, "depth_loss": True},
+        {"app_opt": True},
+    ],
+    ids=["plain", "pose+bilagrid+depth", "app"],
+)
+def test_trainer_smoke(tmp_path, rng, flags):
+    mod = _load_trainer()
+    data_dir = str(tmp_path / "scene")
+    _tiny_colmap(data_dir, rng)
+
+    cfg = mod.Config(
+        data_dir=data_dir,
+        data_factor=1,
+        result_dir=str(tmp_path / "out"),
+        max_steps=6,
+        eval_steps=[6],
+        save_steps=[],
+        refine_start_iter=2,
+        refine_every=2,
+        sh_degree_interval=100,
+        test_every=5,
+        pool_headroom=1.5,
+        **flags,
+    )
+    runner = mod.Runner(cfg)
+    runner.train()
+    stats = runner.eval(6)
+    assert np.isfinite(stats["psnr"])
+    for v in runner.params.values():
+        assert np.all(np.isfinite(np.asarray(v)))

@@ -58,6 +58,10 @@ def main():
         for x in (means, quats, scales, opacities, colors, viewmats, Ks)
     )
 
+    # tile_size 32: v5e sweet spot — halves the intersection list vs 16
+    # (less binning glue) and still fits the kernel's live set in 16MB VMEM
+    # (48/64 exceed it); see PERF.md.
+    tile_size = 32
     isect_capacity = None
     if backend == "tiled":
         # Probe the true intersection count once, then pick a static capacity
@@ -70,8 +74,10 @@ def main():
                 m, q, s, args[5], args[6], width, height
             )[:3]
         )(args[0], args[1], args[2])
-        tw, th = -(-width // 16), -(-height // 16)
-        probe = isect_tiles(means2d, radii, depths, 16, tw, th, capacity=8)
+        tw, th = -(-width // tile_size), -(-height // tile_size)
+        probe = isect_tiles(
+            means2d, radii, depths, tile_size, tw, th, capacity=8
+        )
         n_isects = int(probe.n_isects)
         isect_capacity = suggest_capacity(n_isects)
         print(f"n_gaussians={args[0].shape[0]} n_isects={n_isects} "
@@ -81,6 +87,7 @@ def main():
         render, alphas, _ = rasterization(
             means, quats, scales, opacities, colors, viewmats, Ks,
             width, height, backend=backend, isect_capacity=isect_capacity,
+            tile_size=tile_size,
         )
         return jnp.sum(render) + jnp.sum(alphas)
 

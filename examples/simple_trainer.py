@@ -124,7 +124,7 @@ class Config:
     pool_grow_at: float = 0.9  # grow pool when live fraction exceeds this
     isect_headroom: float = 1.5
     steps_scaler: float = 1.0
-    tile_size: int = 16
+    tile_size: int = 32  # TPU-optimal (see PERF.md); reference GPU uses 16
     seed: int = 42
 
     def scale_steps(self):

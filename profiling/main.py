@@ -68,10 +68,11 @@ def bench_case(args, width, height, scene_grid):
                 m, q, s, ins[5], ins[6], width, height
             )
         )(ins[0], ins[1], ins[2])
-        tw, th = -(-width // 16), -(-height // 16)
+        ts = 32
+        tw, th = -(-width // ts), -(-height // ts)
         probe = isect_tiles(
             (soa["mean_x"], soa["mean_y"]), soa["radii"], soa["depth"],
-            16, tw, th, capacity=8,
+            ts, tw, th, capacity=8,
         )
         isect_capacity = suggest_capacity(int(probe.n_isects))
 
@@ -79,6 +80,7 @@ def bench_case(args, width, height, scene_grid):
         out, alphas, _ = rasterization(
             means, quats, scales, opacities, colors, viewmats, Ks,
             width, height, backend=backend, isect_capacity=isect_capacity,
+            tile_size=32 if backend == "tiled" else 16,
         )
         return out, alphas
 

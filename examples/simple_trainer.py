@@ -119,6 +119,9 @@ class Config:
     bilateral_tv_lambda: float = 10.0
     depth_loss: bool = False
     depth_lambda: float = 1e-2
+    # distributed training (reference: multi-GPU via gsplat/distributed.py;
+    # here: Gaussian-sharded mesh + all_to_all, one camera per device)
+    distributed: bool = False
     # TPU pool management
     pool_headroom: float = 2.0  # initial capacity = N0 * headroom
     pool_grow_at: float = 0.9  # grow pool when live fraction exceeds this
@@ -312,6 +315,34 @@ class Runner:
         self.isect_capacity = _round_up(int(4e6), 4096) if self._on_tpu else None
         self._step_fn = None  # compiled lazily; rebuilt on pool growth
 
+        self.mesh = None
+        if cfg.distributed:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            n_dev = len(jax.devices())
+            assert cfg.batch_size % n_dev == 0, (
+                f"batch_size ({cfg.batch_size}) must be divisible by the "
+                f"device count ({n_dev}) — one camera group per device "
+                "(same constraint as the reference distributed mode)"
+            )
+            assert not (cfg.app_opt or cfg.use_bilateral_grid or cfg.pose_opt), (
+                "distributed mode currently supports the core splat path"
+            )
+            self.mesh = Mesh(np.array(jax.devices()), ("gauss",))
+            shard = NamedSharding(self.mesh, P("gauss"))
+            self.params = {
+                k: jax.device_put(v, shard) for k, v in self.params.items()
+            }
+            self.live = jax.device_put(self.live, shard)
+            self.opt_states = jax.tree.map(
+                lambda x: jax.device_put(x, shard)
+                if hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] == self.live.shape[0]
+                else x,
+                self.opt_states,
+            )
+            print(f"distributed: {n_dev}-device mesh, Gaussian-sharded pool")
+
     @property
     def _on_tpu(self):
         return jax.default_backend() == "tpu"
@@ -392,6 +423,8 @@ class Runner:
         aux_txs = self.aux_txs
         render_mode = "RGB+ED" if cfg.depth_loss else "RGB"
 
+        mesh = self.mesh
+
         def step_fn(
             params, opt_states, live, aux_params, aux_states,
             camtoworlds, Ks, pixels, image_ids, bkgd, pts, pt_depths, key,
@@ -399,6 +432,41 @@ class Runner:
             cap = live.shape[0]
             B = camtoworlds.shape[0]
             carrier = jnp.zeros((B, cap, 2), jnp.float32)
+
+            def loss_fn_distributed(params, aux_params, carrier):
+                from gsplat_tpu.distributed import rasterization_distributed
+
+                colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
+                render, alphas, meta = rasterization_distributed(
+                    params["means"],
+                    params["quats"],
+                    jnp.exp(params["scales"]),
+                    jax.nn.sigmoid(params["opacities"]),
+                    colors,
+                    jnp.linalg.inv(camtoworlds),
+                    Ks,
+                    width,
+                    height,
+                    mesh=mesh,
+                    sh_degree=sh_degree,
+                    near_plane=cfg.near_plane,
+                    far_plane=cfg.far_plane,
+                    tile_size=cfg.tile_size,
+                    backend=backend,
+                    isect_capacity=isect_capacity,
+                    masks=live,
+                    means2d_carrier=carrier,
+                )
+                if bkgd is not None:
+                    render = render + bkgd * (1.0 - alphas)
+                loss = train_loss(render, pixels, cfg.ssim_lambda)
+                # radii unavailable per-gaussian post-exchange; visibility
+                # falls back to all-live
+                aux = {
+                    "radii": jnp.where(live[None, :], 1, 0).astype(jnp.int32),
+                    "n_isects": jnp.int32(0),
+                }
+                return loss, aux
 
             def loss_fn(params, aux_params, carrier):
                 c2w = camtoworlds
@@ -484,8 +552,9 @@ class Runner:
                 }
                 return loss, aux
 
+            lf = loss_fn_distributed if mesh is not None else loss_fn
             (loss, aux), (g_params, g_aux, g_carrier) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2), has_aux=True
+                lf, argnums=(0, 1, 2), has_aux=True
             )(params, aux_params, carrier)
 
             visibility = jnp.any(aux["radii"] > 0, axis=0)  # [cap]
@@ -535,15 +604,18 @@ class Runner:
         step_img_shape = None
 
         for step in range(cfg.max_steps):
-            if cursor >= len(order):
-                order = rng.permutation(len(self.trainset))
-                cursor = 0
-            data = self.trainset[int(order[cursor])]
-            cursor += 1
+            batch = []
+            for _ in range(cfg.batch_size):
+                if cursor >= len(order):
+                    order = rng.permutation(len(self.trainset))
+                    cursor = 0
+                batch.append(self.trainset[int(order[cursor])])
+                cursor += 1
+            data = batch[0]
 
-            pixels = jnp.asarray(data["image"])[None]
-            camtoworlds = jnp.asarray(data["camtoworld"])[None]
-            Ks = jnp.asarray(data["K"])[None]
+            pixels = jnp.asarray(np.stack([b["image"] for b in batch]))
+            camtoworlds = jnp.asarray(np.stack([b["camtoworld"] for b in batch]))
+            Ks = jnp.asarray(np.stack([b["K"] for b in batch]))
             H, W = pixels.shape[1:3]
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
 
@@ -558,21 +630,21 @@ class Runner:
                 bkgd = jnp.ones((1, 1, 1, 3))
             else:
                 bkgd = None
-            image_ids = jnp.asarray([data["image_id"]], jnp.int32)
+            image_ids = jnp.asarray([b["image_id"] for b in batch], jnp.int32)
             P_MAX = 4096
+            B = len(batch)
             if cfg.depth_loss and "points" in data:
-                p_np = data["points"][:P_MAX]
-                d_np = data["depths"][:P_MAX]
-                pad = P_MAX - len(p_np)
-                pts = jnp.asarray(
-                    np.pad(p_np, ((0, pad), (0, 0))), jnp.float32
-                )[None]
-                pt_depths = jnp.asarray(
-                    np.pad(d_np, (0, pad)), jnp.float32
-                )[None]
+                pts_np = np.zeros((B, P_MAX, 2), np.float32)
+                dep_np = np.zeros((B, P_MAX), np.float32)
+                for bi, b in enumerate(batch):
+                    n_b = min(len(b["points"]), P_MAX)
+                    pts_np[bi, :n_b] = b["points"][:n_b]
+                    dep_np[bi, :n_b] = b["depths"][:n_b]
+                pts = jnp.asarray(pts_np)
+                pt_depths = jnp.asarray(dep_np)
             else:
-                pts = jnp.zeros((1, P_MAX, 2), jnp.float32)
-                pt_depths = jnp.zeros((1, P_MAX), jnp.float32)
+                pts = jnp.zeros((B, P_MAX, 2), jnp.float32)
+                pt_depths = jnp.zeros((B, P_MAX), jnp.float32)
             (
                 self.params, self.opt_states, self.aux_params,
                 self.aux_states, loss, radii, g_carrier, n_isects

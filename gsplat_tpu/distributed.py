@@ -65,6 +65,7 @@ def rasterization_distributed(
     backend: str = "auto",
     isect_capacity: Optional[int] = None,  # per-shard capacity
     masks: Optional[jax.Array] = None,  # [N] bool
+    means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros, N-sharded
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Distributed rasterization: Gaussian-sharded projection, camera-sharded
     rasterization, differentiable all-to-all exchange.
@@ -86,7 +87,11 @@ def rasterization_distributed(
         color_spec = P(axis, None, None)
     else:
         color_spec = P(axis, None)
-    mask_spec = (P(axis),) if masks is not None else ()
+    extra_specs = ()
+    if masks is not None:
+        extra_specs = extra_specs + (P(axis),)
+    if means2d_carrier is not None:
+        extra_specs = extra_specs + (P(None, axis, None),)
 
     in_specs = (
         P(axis, None),  # means
@@ -96,7 +101,7 @@ def rasterization_distributed(
         color_spec,  # colors
         P(),  # viewmats
         P(),  # Ks
-    ) + mask_spec
+    ) + extra_specs
     out_specs = (P(axis), P(axis))
 
     def a2a(x):
@@ -105,7 +110,9 @@ def rasterization_distributed(
         return lax.all_to_all(x, axis, split_axis=0, concat_axis=1, tiled=True)
 
     def _render(means, quats, scales, opacities, colors, viewmats, Ks, *rest):
-        live = rest[0] if rest else None
+        rest = list(rest)
+        live = rest.pop(0) if masks is not None else None
+        carrier = rest.pop(0) if means2d_carrier is not None else None
         proj = fully_fused_projection_soa(
             means, quats, scales, viewmats, Ks, width, height,
             eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
@@ -114,6 +121,12 @@ def rasterization_distributed(
         radii = proj["radii"]
         if live is not None:
             radii = jnp.where(live[None, :], radii, 0)
+        if carrier is not None:
+            # densification gradient carrier, applied by the Gaussian's
+            # owner shard pre-exchange (so its cotangent is N-sharded too)
+            proj = dict(proj)
+            proj["mean_x"] = proj["mean_x"] + carrier[..., 0]
+            proj["mean_y"] = proj["mean_y"] + carrier[..., 1]
         n_local = means.shape[0]
 
         # per-view colors, evaluated by the Gaussian's owner shard
@@ -176,6 +189,8 @@ def rasterization_distributed(
     args = (means, quats, scales, opacities, colors, viewmats, Ks)
     if masks is not None:
         args = args + (masks,)
+    if means2d_carrier is not None:
+        args = args + (means2d_carrier,)
     render, alphas = fn(*args)
     meta = {"width": width, "height": height, "n_cameras": C}
     return render, alphas, meta

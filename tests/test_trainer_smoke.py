@@ -106,3 +106,34 @@ def test_trainer_smoke(tmp_path, rng, flags):
     assert np.isfinite(stats["psnr"])
     for v in runner.params.values():
         assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_trainer_distributed_smoke(tmp_path, rng):
+    """Distributed training on the 8-device CPU mesh: Gaussian-sharded pool,
+    all_to_all exchange, one camera per device (batch_size = 8)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mod = _load_trainer()
+    data_dir = str(tmp_path / "scene")
+    _tiny_colmap(data_dir, rng, n_cams=10)
+
+    cfg = mod.Config(
+        data_dir=data_dir,
+        data_factor=1,
+        result_dir=str(tmp_path / "out"),
+        max_steps=4,
+        eval_steps=[4],
+        save_steps=[],
+        refine_start_iter=2,
+        refine_every=2,
+        sh_degree_interval=100,
+        test_every=9,
+        pool_headroom=1.5,
+        distributed=True,
+        batch_size=8,
+    )
+    runner = mod.Runner(cfg)
+    assert runner.mesh is not None
+    runner.train()
+    stats = runner.eval(4)
+    assert np.isfinite(stats["psnr"])

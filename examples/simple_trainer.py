@@ -122,6 +122,7 @@ class Config:
     # distributed training (reference: multi-GPU via gsplat/distributed.py;
     # here: Gaussian-sharded mesh + all_to_all, one camera per device)
     distributed: bool = False
+    resume: str = ""  # path to a ckpt_*.npz to resume training from
     # TPU pool management
     pool_headroom: float = 2.0  # initial capacity = N0 * headroom
     pool_grow_at: float = 0.9  # grow pool when live fraction exceeds this
@@ -173,6 +174,20 @@ def parse_config() -> Config:
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _tree_leaves_np(tree):
+    return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+
+def _tree_restore(template, leaves):
+    t_leaves, treedef = jax.tree.flatten(template)
+    assert len(t_leaves) == len(leaves), (
+        f"checkpoint has {len(leaves)} leaves, expected {len(t_leaves)}"
+    )
+    return jax.tree.unflatten(
+        treedef, [jnp.asarray(l) for l in leaves]
+    )
 
 
 def create_splats(cfg: Config, parser: Parser, cap: int, key) -> Dict[str, jnp.ndarray]:
@@ -599,18 +614,28 @@ class Runner:
         stats_path = os.path.join(cfg.result_dir, "stats.jsonl")
         t_start = time.time()
 
-        order = rng.permutation(len(self.trainset))
-        cursor = 0
         step_img_shape = None
+        start_step = 0
+        if cfg.resume:
+            start_step = self.load(cfg.resume)
+            self._step_fn = None
 
-        for step in range(cfg.max_steps):
-            batch = []
-            for _ in range(cfg.batch_size):
-                if cursor >= len(order):
-                    order = rng.permutation(len(self.trainset))
-                    cursor = 0
-                batch.append(self.trainset[int(order[cursor])])
-                cursor += 1
+        n_train = len(self.trainset)
+
+        def data_index(step_i, slot):
+            # deterministic per-(epoch, position): resume-stable
+            flat = step_i * cfg.batch_size + slot
+            epoch, pos = divmod(flat, n_train)
+            perm = np.random.default_rng(cfg.seed + 7919 * epoch).permutation(
+                n_train
+            )
+            return int(perm[pos])
+
+        for step in range(start_step, cfg.max_steps):
+            batch = [
+                self.trainset[data_index(step, i)]
+                for i in range(cfg.batch_size)
+            ]
             data = batch[0]
 
             pixels = jnp.asarray(np.stack([b["image"] for b in batch]))
@@ -623,7 +648,10 @@ class Runner:
                 self._step_fn = self._make_step(W, H, sh_degree)
                 step_img_shape = (W, H, sh_degree)
 
-            key, k_step, k_strat = jax.random.split(key, 3)
+            # fold_in(step): the key stream is a pure function of (seed,
+            # step) so checkpoint resume reproduces the exact trajectory
+            k_base = jax.random.fold_in(key, step)
+            k_step, k_strat = jax.random.split(k_base)
             if cfg.random_bkgd:
                 bkgd = jax.random.uniform(k_step, (1, 1, 1, 3))
             elif cfg.white_bkgd:
@@ -775,18 +803,81 @@ class Runner:
         return stats
 
     def save(self, step: int):
+        """Full training checkpoint: splats + live mask + optimizer +
+        strategy + aux-module state (the reference only supports eval-time
+        resume of splats — simple_trainer.py:1055-1067; mid-train resume
+        needs the rest)."""
         path = os.path.join(self.cfg.result_dir, f"ckpt_{step}.npz")
-        np.savez(
-            path,
-            live=np.asarray(self.live),
-            **{k: np.asarray(v) for k, v in self.params.items()},
-        )
+        blob = {
+            "step": np.asarray(step),
+            "live": np.asarray(self.live),
+        }
+        blob.update({f"splat/{k}": np.asarray(v) for k, v in self.params.items()})
+        for i, leaf in enumerate(_tree_leaves_np(self.opt_states)):
+            blob[f"opt/{i:04d}"] = leaf
+        for k, v in self.strategy_state.items():
+            if hasattr(v, "shape"):
+                blob[f"strat:{k}"] = np.asarray(v)
+        for i, leaf in enumerate(_tree_leaves_np(self.aux_params)):
+            blob[f"auxp/{i:04d}"] = leaf
+        for i, leaf in enumerate(_tree_leaves_np(self.aux_states)):
+            blob[f"auxs/{i:04d}"] = leaf
+        np.savez(path, **blob)
         save_ply(
             self.params,
             os.path.join(self.cfg.result_dir, f"splats_{step}.ply"),
             live=self.live,
         )
         print("saved", path)
+
+    def load(self, path: str) -> int:
+        """Restore a full checkpoint written by :meth:`save`. The pool is
+        re-padded to the checkpoint's capacity first (it may have grown).
+        Returns the step to resume from."""
+        ckpt = np.load(path)
+        cap = ckpt["live"].shape[0]
+        cur = self.live.shape[0]
+        if cap != cur:
+            def resize(x, fill=0.0):
+                out = jnp.full((cap,) + x.shape[1:], fill, x.dtype)
+                n = min(cap, x.shape[0])
+                return out.at[:n].set(x[:n])
+
+            self.params = {k: resize(v) for k, v in self.params.items()}
+            self.live = resize(self.live)
+            self.opt_states = jax.tree.map(
+                lambda x: resize(x)
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cur
+                else x,
+                self.opt_states,
+            )
+            self.strategy_state = {
+                k: (resize(v) if hasattr(v, "ndim") and v.ndim >= 1
+                    and v.shape[0] == cur else v)
+                for k, v in self.strategy_state.items()
+            }
+        self.params = {
+            k: jnp.asarray(ckpt[f"splat/{k}"]) for k in self.params
+        }
+        self.live = jnp.asarray(ckpt["live"])
+        opt_leaves = [ckpt[k] for k in sorted(ckpt.files) if k.startswith("opt/")]
+        self.opt_states = _tree_restore(self.opt_states, opt_leaves)
+        for k in ckpt.files:
+            if k.startswith("strat:"):
+                name = k.split(":", 1)[1]
+                v = ckpt[k]
+                self.strategy_state[name] = (
+                    float(v) if v.ndim == 0 else jnp.asarray(v)
+                )
+        auxp = [ckpt[k] for k in sorted(ckpt.files) if k.startswith("auxp/")]
+        if auxp:
+            self.aux_params = _tree_restore(self.aux_params, auxp)
+        auxs = [ckpt[k] for k in sorted(ckpt.files) if k.startswith("auxs/")]
+        if auxs:
+            self.aux_states = _tree_restore(self.aux_states, auxs)
+        step = int(ckpt["step"]) if "step" in ckpt.files else 0
+        print(f"resumed from {path} at step {step} (pool cap {cap})")
+        return step
 
 
 def main():

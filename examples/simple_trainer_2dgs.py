@@ -42,6 +42,9 @@ class Runner2DGS(Runner):
         self.dist_lambda = dist_lambda
         self.normal_start = normal_start
         self.dist_start = dist_start
+        # the 2DGS backward kernel's live set exceeds the v5e 16MB VMEM at
+        # tile_size 32 (ray-transform cross products); 16 fits
+        cfg.tile_size = min(cfg.tile_size, 16)
         super().__init__(cfg)
 
     def _make_step(self, width, height, sh_degree):

@@ -137,3 +137,35 @@ def test_trainer_distributed_smoke(tmp_path, rng):
     runner.train()
     stats = runner.eval(4)
     assert np.isfinite(stats["psnr"])
+
+
+def test_trainer_checkpoint_resume(tmp_path, rng):
+    """Full mid-train resume: optimizer + strategy state round-trips and
+    training continues bit-compatibly from the checkpoint."""
+    mod = _load_trainer()
+    data_dir = str(tmp_path / "scene")
+    _tiny_colmap(data_dir, rng)
+
+    kw = dict(
+        data_dir=data_dir, data_factor=1, max_steps=4, eval_steps=[],
+        save_steps=[2], refine_start_iter=1, refine_every=2,
+        sh_degree_interval=100, test_every=5, pool_headroom=1.5,
+    )
+    cfg = mod.Config(result_dir=str(tmp_path / "a"), **kw)
+    r1 = mod.Runner(cfg)
+    r1.train()  # saves ckpt_2.npz mid-run, continues to step 4
+
+    cfg2 = mod.Config(
+        result_dir=str(tmp_path / "b"),
+        resume=str(tmp_path / "a" / "ckpt_2.npz"),
+        **kw,
+    )
+    r2 = mod.Runner(cfg2)
+    r2.train()  # resumes at step 2, runs 2 more steps
+
+    for k in r1.params:
+        a, b = np.asarray(r1.params[k]), np.asarray(r2.params[k])
+        assert a.shape == b.shape
+        # same data order + same rng keys per step -> identical trajectories
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5, err_msg=k)
+    assert int(np.sum(np.asarray(r1.live))) == int(np.sum(np.asarray(r2.live)))

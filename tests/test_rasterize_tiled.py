@@ -125,3 +125,48 @@ def test_tiled_empty_scene(rng):
     np.testing.assert_allclose(r, 0.25, atol=1e-6)
     np.testing.assert_allclose(a, 0.0, atol=1e-6)
     np.testing.assert_allclose(g, 0.0, atol=1e-6)
+
+
+def test_tiled_channel_chunking_and_modes(rng):
+    """High channel count through the chunking path + depth render modes +
+    antialiased, tiled vs oracle (reference tests rasterize at 3/32/128
+    channels — tests/test_basic.py:444)."""
+    from gsplat_tpu import rasterization
+
+    N, C, W, H = 150, 1, 48, 32
+    means = rng.standard_normal((N, 3)).astype(np.float32)
+    quats = rng.standard_normal((N, 4)).astype(np.float32)
+    scales = (rng.random((N, 3)) * 0.3 + 0.05).astype(np.float32)
+    opac = rng.random((N,)).astype(np.float32)
+    viewmats = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    viewmats[:, 2, 3] = 4.0
+    Ks = np.tile(
+        np.array([[25.0, 0, W / 2], [0, 25.0, H / 2], [0, 0, 1]], np.float32),
+        (C, 1, 1),
+    )
+    base = [jnp.asarray(x) for x in (means, quats, scales, opac)]
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+
+    # 40 channels -> two chunks of 32/8
+    feats = jnp.asarray(rng.random((N, 40)).astype(np.float32))
+    r0, a0, _ = rasterization(*base, feats, vm, K, W, H, backend="oracle")
+    r1, a1, _ = rasterization(
+        *base, feats, vm, K, W, H, backend="tiled", isect_capacity=4096
+    )
+    assert r1.shape == (C, H, W, 40)
+    np.testing.assert_allclose(r0, r1, atol=2e-4, rtol=1e-3)
+
+    # RGB+ED with background, antialiased
+    cols = jnp.asarray(rng.random((N, 3)).astype(np.float32))
+    bg = jnp.asarray(rng.random((C, 3)).astype(np.float32))
+    for mode in ["RGB+D", "RGB+ED", "D", "ED"]:
+        r0, a0, _ = rasterization(
+            *base, cols, vm, K, W, H, render_mode=mode,
+            rasterize_mode="antialiased", backgrounds=bg, backend="oracle",
+        )
+        r1, a1, _ = rasterization(
+            *base, cols, vm, K, W, H, render_mode=mode,
+            rasterize_mode="antialiased", backgrounds=bg,
+            backend="tiled", isect_capacity=4096,
+        )
+        np.testing.assert_allclose(r0, r1, atol=2e-4, rtol=1e-3, err_msg=mode)

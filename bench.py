@@ -79,7 +79,10 @@ def main():
             means2d, radii, depths, tile_size, tw, th, capacity=8
         )
         n_isects = int(probe.n_isects)
-        isect_capacity = suggest_capacity(n_isects)
+        # tight slack: the bench re-probes every run, so unlike training
+        # there is no growth headroom needed, and every binning op scales
+        # with capacity
+        isect_capacity = suggest_capacity(n_isects, slack=1.05)
         print(f"n_gaussians={args[0].shape[0]} n_isects={n_isects} "
               f"capacity={isect_capacity}", file=sys.stderr)
 

@@ -420,6 +420,12 @@ class Runner:
             }
             grew = True
         if self.isect_capacity is not None and n_isects > 0.8 * self.isect_capacity:
+            if n_isects > self.isect_capacity:
+                # this step really did render/train on a truncated list
+                print(
+                    f"[isect] WARNING: n_isects={n_isects} exceeded capacity "
+                    f"{self.isect_capacity}; this step was truncated"
+                )
             self.isect_capacity = _round_up(
                 int(n_isects * cfg.isect_headroom), 4096
             )
@@ -525,6 +531,7 @@ class Runner:
                     means2d_carrier=carrier,
                     masks=live,
                     tile_size=cfg.tile_size,
+                    absgrad=cfg.absgrad,
                 )
                 if cfg.depth_loss:
                     depths_map = render[..., -1:]
@@ -683,12 +690,18 @@ class Runner:
                 k_step,
             )
 
+            # n_cameras is the actual camera-batch size: the reference
+            # normalizes densification grads to pixel units *per camera*
+            # and multiplies by the batch size (gsplat/strategy/default.py:
+            # 225-226), so batch_size > 1 must not dilute the statistics.
             meta = {
-                "radii": radii, "width": W, "height": H, "n_cameras": 1,
+                "radii": radii, "width": W, "height": H, "n_cameras": B,
             }
             if isinstance(self.strategy, DefaultStrategy):
-                if cfg.absgrad:
-                    g_carrier = jnp.abs(g_carrier)
+                # absgrad mode: the carrier gradient is already the per-tile
+                # |d mu2d| accumulation (rasterization(absgrad=True) routes
+                # the carrier through the abs path inside the backward
+                # kernel), matching rasterize_to_pixels_bwd.py:282-292.
                 (
                     self.params, self.live, self.opt_states, self.strategy_state
                 ) = self.strategy.step_post_backward(
@@ -707,6 +720,12 @@ class Runner:
                     self.strategy_state, step, lr_now, k_strat,
                 )
 
+            # Overflow check EVERY step: isect_tiles silently truncates past
+            # capacity, so a densification spike must trigger growth at the
+            # very next step, not up to 99 steps later (n_isects is already
+            # a jitted-step output, so this costs only the host sync).
+            self._maybe_grow(int(n_isects))
+
             if step % 100 == 0:
                 n_live = int(jnp.sum(self.live))
                 print(
@@ -719,7 +738,6 @@ class Runner:
                         "step": step, "loss": float(loss), "n_live": n_live,
                         "elapsed_s": time.time() - t_start,
                     }) + "\n")
-                self._maybe_grow(int(n_isects))
 
             if step + 1 in cfg.eval_steps:
                 self.eval(step + 1)

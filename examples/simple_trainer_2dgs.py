@@ -82,10 +82,15 @@ class Runner2DGS(Runner):
                     tile_size=cfg.tile_size,
                     backend=backend,
                     isect_capacity=isect_capacity,
+                    render_mode="RGB+ED",
+                    distloss=use_dist,
                 )
-                loss = train_loss(render, pixels, cfg.ssim_lambda)
+                loss = train_loss(render[..., :3], pixels, cfg.ssim_lambda)
                 if use_normal:
-                    # normal consistency (simple_trainer_2dgs.py:611-624)
+                    # normal consistency (simple_trainer_2dgs.py:611-624);
+                    # the alpha modulation of the depth-derived normals
+                    # happens here like the reference trainer (:618)
+                    normals_depth = normals_depth * jax.lax.stop_gradient(alphas)
                     n = normals / jnp.clip(
                         jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-6
                     )

@@ -1,0 +1,679 @@
+"""Binned-pipeline rasterizer: Pallas kernels over the sorted entry stream.
+
+Round-2 replacement for the rasterize_tiled glue (see ops/binning.py for
+why): the Pallas emit + payload sort produce the per-entry feature stream
+directly, so the forward kernel reads it with no gather and no K-alignment
+scatter — tile ranges start at arbitrary offsets and the kernel reads
+lane-aligned blocks rounded down, masking foreign entries.
+
+The backward writes per-entry gradients (plus the per-entry gid and the
+absgrad rows) into a per-tile K-aligned buffer (no cross-tile write
+conflicts), then ONE `lax.sort` by gid groups them and a Pallas one-hot
+matmul reduce produces per-Gaussian gradients — replacing the XLA
+scatter-add that cost ~116 ns/index (the single largest op in the round-1
+frame; the reference uses atomicAdd here,
+gsplat/triton_impl/rasterize_to_pixels_bwd.py:199-337).
+
+Compositing semantics are identical to ops/rasterize_ref.py (the oracle) and
+ops/rasterize_tiled.py; parity is enforced by tests/test_rasterize_binned.py
+and scripts/check_tiled_tpu.py on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import Binned, bin_gaussians
+from .rasterize_ref import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_EPS
+from .rasterize_tiled import _cum_lanes
+
+LOG_EPS = math.log(TRANSMITTANCE_EPS)
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _ecopy(hbm, buf, sem, start, slot, K, R=None):
+    start = pl.multiple_of(start, LANES)
+    src = hbm.at[:, pl.ds(start, K)] if R is None else hbm.at[:R, pl.ds(start, K)]
+    return pltpu.make_async_copy(src, buf.at[slot], sem.at[slot])
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel (unaligned tile ranges)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    offs_ref,  # [T] i32 scalar prefetch: true range start per tile
+    cnts_ref,  # [T] i32 scalar prefetch: true entry count per tile
+    entries_hbm,  # [F, capA] f32 HBM (sorted stream)
+    accum_ref,  # [1, Dp, P] f32 out
+    logT_ref,  # [1, 1, P] f32 out
+    last_ref,  # [1, 1, P] i32 out (absolute stream index, -1 = none)
+    ebuf,  # [2, F, K] VMEM
+    esem,
+    *,
+    K: int,
+    P: int,
+    Dp: int,
+    ts: int,
+    tw: int,
+    th: int,
+    native: bool,
+):
+    t = pl.program_id(0)
+    off = offs_ref[t]
+    n = cnts_ref[t]
+    astart = (off // K) * K
+    nb = pl.cdiv(off + n - astart, K)
+
+    rem = t % (th * tw)
+    ty = rem // tw
+    tx = rem % tw
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
+    py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    accum_ref[...] = jnp.zeros_like(accum_ref)
+
+    @pl.when(nb > 0)
+    def _():
+        _ecopy(entries_hbm, ebuf, esem, astart, 0, K).start()
+
+    def body(carry):
+        b, logT_test, logT_out, last = carry
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nb)
+        def _():
+            _ecopy(entries_hbm, ebuf, esem, astart + (b + 1) * K, 1 - slot, K).start()
+
+        _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
+        e = ebuf[slot]  # [F, K]
+
+        gx, gy = e[0:1, :], e[1:2, :]
+        ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
+        op = e[5:6, :]
+        dx = px - gx
+        dy = py - gy
+        sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        araw = op * jnp.exp(-sig)
+        alpha = jnp.minimum(araw, ALPHA_MAX)
+        gidx = astart + b * K + kidx  # [1, K] absolute stream index
+        colmask = (gidx >= off) & (gidx < off + n)
+        valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+        lg = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
+
+        cum_incl = _cum_lanes(lg, K, "fwd_incl", native) + logT_test
+        accept = valid & (cum_incl > LOG_EPS)
+        w = jnp.where(accept, jnp.exp(cum_incl - lg) * alpha, 0.0)
+
+        accum_ref[0] += jax.lax.dot_general(
+            e[6 : 6 + Dp, :], w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        logT_test = logT_test + jnp.sum(lg, axis=1, keepdims=True)
+        logT_out = logT_out + jnp.sum(
+            jnp.where(accept, lg, 0.0), axis=1, keepdims=True
+        )
+        last = jnp.maximum(
+            last, jnp.max(jnp.where(accept, gidx, -1), axis=1, keepdims=True)
+        )
+        return b + 1, logT_test, logT_out, last
+
+    def cond(carry):
+        b, logT_test, _, _ = carry
+        return (b < nb) & (jnp.max(logT_test) > LOG_EPS)
+
+    zero_p = jnp.zeros((P, 1), jnp.float32)
+    b_f, _, logT_out, last = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero_p, zero_p, jnp.full((P, 1), -1, jnp.int32))
+    )
+
+    @pl.when(b_f < nb)
+    def _():
+        _ecopy(
+            entries_hbm, ebuf, esem, astart + b_f * K, jax.lax.rem(b_f, 2), K
+        ).wait()
+
+    logT_ref[0] = jnp.transpose(logT_out, (1, 0))
+    last_ref[0] = jnp.transpose(last, (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: per-entry grads + gid written K-aligned per tile
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    offs_ref,  # [T] i32
+    cnts_ref,  # [T] i32
+    aoff_ref,  # [T] i32: aligned write base per tile
+    entries_hbm,  # [F, capA] f32
+    gids_hbm,  # [1, capA] i32
+    logT_ref,  # [1, 1, P]
+    last_ref,  # [1, 1, P] i32
+    vaccum_ref,  # [1, Dp, P]
+    vlogT_ref,  # [1, 1, P]
+    _vz_hbm,  # [GR, capA2] f32 (aliased out, pre-zeroed; gid row = sentinel)
+    vgr_hbm,  # [GR, capA2] f32 out: row 0 = gid (as f32), 1.. = grads
+    ebuf,  # [2, F, K]
+    esem,
+    gbuf,  # [2, 1, K] i32
+    gsem,
+    wbuf,  # [2, GR, K]
+    wsem,
+    *,
+    K: int,
+    P: int,
+    Dp: int,
+    D: int,
+    GR: int,
+    ts: int,
+    tw: int,
+    th: int,
+    native: bool,
+    absgrad: bool,
+):
+    t = pl.program_id(0)
+    off = offs_ref[t]
+    n = cnts_ref[t]
+    aoff = aoff_ref[t]
+    astart = (off // K) * K
+
+    rem = t % (th * tw)
+    ty = rem // tw
+    tx = rem % tw
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
+    py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    last_row = last_ref[0]  # [1, P]
+    last = jnp.transpose(last_row, (1, 0))  # [P, 1]
+    logT_fin = jnp.transpose(logT_ref[0], (1, 0))
+    vlogT = jnp.transpose(vlogT_ref[0], (1, 0))
+    vaccum = vaccum_ref[0]  # [Dp, P]
+
+    last_max = jnp.max(last_row)
+    start_b = (last_max - astart) // K
+    nb_eff = jnp.where((last_max >= off) & (n > 0), start_b + 1, 0)
+
+    def wcopy(b, slot):
+        # batch b of this tile writes to aligned slot aoff + b*K
+        start = pl.multiple_of(aoff + b * K, LANES)
+        return pltpu.make_async_copy(
+            wbuf.at[slot], vgr_hbm.at[:, pl.ds(start, K)], wsem.at[slot]
+        )
+
+    @pl.when(nb_eff > 0)
+    def _():
+        _ecopy(entries_hbm, ebuf, esem, astart + start_b * K, start_b % 2, K).start()
+        _ecopy(gids_hbm, gbuf, gsem, astart + start_b * K, start_b % 2, K).start()
+
+    def body(i, carry):
+        logS, ssum = carry
+        b = start_b - i
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b - 1 >= 0)
+        def _():
+            _ecopy(entries_hbm, ebuf, esem, astart + (b - 1) * K, 1 - slot, K).start()
+            _ecopy(gids_hbm, gbuf, gsem, astart + (b - 1) * K, 1 - slot, K).start()
+
+        _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
+        _ecopy(gids_hbm, gbuf, gsem, astart + b * K, slot, K).wait()
+        e = ebuf[slot]
+        gid = gbuf[slot]  # [1, K] i32
+
+        gx, gy = e[0:1, :], e[1:2, :]
+        ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
+        op = e[5:6, :]
+        ecol = e[6 : 6 + Dp, :]
+        dx = px - gx
+        dy = py - gy
+        sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        eneg = jnp.exp(-sig)
+        araw = op * eneg
+        alpha = jnp.minimum(araw, ALPHA_MAX)
+        gidx = astart + b * K + kidx
+        colmask = (gidx >= off) & (gidx < off + n)
+        valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+        accept = valid & (gidx <= last)
+
+        lg = jnp.where(accept, jnp.log1p(-jnp.where(accept, alpha, 0.0)), 0.0)
+        logS_incl = _cum_lanes(lg, K, "rev_incl", native) + logS
+        Tk = jnp.exp(logT_fin - logS_incl)
+        w = jnp.where(accept, alpha * Tk, 0.0)
+
+        cv = jax.lax.dot_general(
+            vaccum, ecol,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = w * cv
+        s_excl = _cum_lanes(d, K, "rev_excl", native) + ssum
+
+        v_alpha = jnp.where(
+            accept, Tk * cv - (s_excl + vlogT) / (1.0 - alpha), 0.0
+        )
+        notclamp = araw < ALPHA_MAX
+        v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
+        v_op = jnp.sum(
+            jnp.where(notclamp, eneg * v_alpha, 0.0), axis=0, keepdims=True
+        )
+        v_ca = jnp.sum(0.5 * dx * dx * v_sig, axis=0, keepdims=True)
+        v_cb = jnp.sum(dx * dy * v_sig, axis=0, keepdims=True)
+        v_cc = jnp.sum(0.5 * dy * dy * v_sig, axis=0, keepdims=True)
+        v_gx = -jnp.sum((ca * dx + cb * dy) * v_sig, axis=0, keepdims=True)
+        v_gy = -jnp.sum((cb * dx + cc * dy) * v_sig, axis=0, keepdims=True)
+        v_col = jax.lax.dot_general(
+            vaccum, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:D]
+
+        rows = [
+            jnp.where(colmask, gid, jnp.int32(1 << 24)).astype(jnp.float32),
+            v_gx, v_gy, v_ca, v_cb, v_cc, v_op, v_col,
+        ]
+        if absgrad:
+            rows += [jnp.abs(v_gx), jnp.abs(v_gy)]
+        used = 7 + D + (2 if absgrad else 0)
+        if GR > used:
+            rows.append(jnp.zeros((GR - used, K), jnp.float32))
+        g = jnp.concatenate(rows, axis=0)  # [GR, K]
+
+        @pl.when(i >= 2)
+        def _():
+            wcopy(b + 2, jax.lax.rem(i, 2)).wait()
+
+        wslot = jax.lax.rem(i, 2)
+        wbuf[wslot] = g
+        wcopy(b, wslot).start()
+
+        logS = logS + jnp.sum(lg, axis=1, keepdims=True)
+        ssum = ssum + jnp.sum(d, axis=1, keepdims=True)
+        return logS, ssum
+
+    zero_p = jnp.zeros((P, 1), jnp.float32)
+    jax.lax.fori_loop(0, nb_eff, body, (zero_p, zero_p))
+
+    @pl.when(nb_eff >= 2)
+    def _():
+        wcopy(start_b - (nb_eff - 2), jax.lax.rem(nb_eff - 2, 2)).wait()
+
+    @pl.when(nb_eff >= 1)
+    def _():
+        wcopy(start_b - (nb_eff - 1), jax.lax.rem(nb_eff - 1, 2)).wait()
+
+
+# ---------------------------------------------------------------------------
+# Gradient reduce: sorted-by-gid stream -> per-Gaussian sums (one-hot matmul)
+# ---------------------------------------------------------------------------
+
+RK = 512  # source block size
+RCHUNK = 1024  # output gid chunk
+
+
+def _reduce_kernel(
+    bounds_ref,  # [M/RCHUNK + 1] i32: searchsorted chunk boundaries
+    gid_hbm,  # [1, capA2] i32 sorted
+    vg_hbm,  # [GRm1, capA2] f32 sorted payload rows (no gid row)
+    out_ref,  # [GRm1, RCHUNK] out block
+    gbuf,  # [2, 1, RK] i32
+    gsem,
+    vbuf,  # [2, GRm1, RK]
+    vsem,
+    *,
+    GRm1: int,
+    native: bool,
+):
+    j = pl.program_id(0)
+    lo = bounds_ref[j]
+    hi = bounds_ref[j + 1]
+    alo = (lo // RK) * RK
+    nb = pl.cdiv(hi - alo, RK)
+    base = j * RCHUNK
+
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, RK), 1)
+    cit = jax.lax.broadcasted_iota(jnp.int32, (RK, RCHUNK), 1)
+
+    @pl.when(nb > 0)
+    def _():
+        _ecopy(gid_hbm, gbuf, gsem, alo, 0, RK).start()
+        _ecopy(vg_hbm, vbuf, vsem, alo, 0, RK).start()
+
+    def body(b, acc):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nb)
+        def _():
+            _ecopy(gid_hbm, gbuf, gsem, alo + (b + 1) * RK, 1 - slot, RK).start()
+            _ecopy(vg_hbm, vbuf, vsem, alo + (b + 1) * RK, 1 - slot, RK).start()
+
+        _ecopy(gid_hbm, gbuf, gsem, alo + b * RK, slot, RK).wait()
+        _ecopy(vg_hbm, vbuf, vsem, alo + b * RK, slot, RK).wait()
+        gid = gbuf[slot]  # [1, RK]
+        vg = vbuf[slot]  # [GRm1, RK]
+
+        pos = alo + b * RK + kidx
+        inrange = (pos >= lo) & (pos < hi)
+        col = gid - base  # [1, RK]
+        onehot = (
+            (jnp.transpose(col, (1, 0)) == cit)
+            & jnp.transpose(inrange, (1, 0))
+        ).astype(jnp.float32)  # [RK, RCHUNK]
+        acc = acc + jax.lax.dot_general(
+            vg, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, nb, body, jnp.zeros((GRm1, RCHUNK), jnp.float32)
+    )
+    out_ref[...] = acc
+
+    @pl.when(nb > 0)
+    def _():
+        # drain the speculative prefetch of the final iteration
+        _ecopy(gid_hbm, gbuf, gsem, alo + (nb - 1) * RK, jax.lax.rem(nb - 1, 2), RK).wait()
+        _ecopy(vg_hbm, vbuf, vsem, alo + (nb - 1) * RK, jax.lax.rem(nb - 1, 2), RK).wait()
+
+
+def _reduce_call(gid_sorted, vg_sorted, M: int, GRm1: int, interpret: bool):
+    """[GRm1, capA2] sorted-by-gid grads -> [GRm1, M_pad] per-gid sums."""
+    capA2 = gid_sorted.shape[-1]
+    M_pad = _round_up(M, RCHUNK)
+    nchunks = M_pad // RCHUNK
+    bounds = jnp.searchsorted(
+        gid_sorted.reshape(-1),
+        jnp.arange(0, M_pad + 1, RCHUNK, dtype=jnp.int32),
+        side="left",
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((GRm1, RCHUNK), lambda j, *_: (0, j)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, RK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, GRm1, RK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_reduce_kernel, GRm1=GRm1, native=not interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((GRm1, M_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(bounds, gid_sorted.reshape(1, capA2), vg_sorted)
+    return out[:, :M]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP over the whole binned pipeline
+# ---------------------------------------------------------------------------
+
+
+def _fwd_call(cfg, entries, offs, cnts):
+    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, Dp, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, F, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_kernel, K=K, P=P, Dp=Dp, ts=ts, tw=tw, th=th, native=not interpret
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Dp, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(offs, cnts, entries)
+
+
+def _bwd_call(cfg, entries, gids, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT):
+    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # entries
+            pl.BlockSpec(memory_space=pltpu.ANY),  # gids
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),  # logT
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),  # last
+            pl.BlockSpec((1, Dp, P), lambda t, *_: (t, 0, 0)),  # v_accum
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),  # v_logT
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vzero (aliased)
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, F, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, K), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, GR, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_kernel, K=K, P=P, Dp=Dp, D=D, GR=GR, ts=ts, tw=tw, th=th,
+        native=not interpret, absgrad=absgrad,
+    )
+    # pre-zeroed (gid row = sentinel) so unprocessed aligned slots reduce
+    # to nothing
+    vzero = jnp.concatenate(
+        [
+            jnp.full((1, capA2), float(1 << 24), jnp.float32),
+            jnp.zeros((GR - 1, capA2), jnp.float32),
+        ],
+        axis=0,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((GR, capA2), jnp.float32)],
+        # operand index counts the 3 scalar-prefetch args: vzero is input 9
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(offs, cnts, aoff, entries, gids, logT, last, v_accum, v_logT, vzero)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _raster_binned(cfg, packed, absc, radii, depths):
+    out, _ = _raster_binned_fwd(cfg, packed, absc, radii, depths)
+    return out
+
+
+def _bin_from_packed(cfg, packed, radii, depths):
+    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    rs = lambda r: packed[r].reshape(C, N)
+    colors = jnp.stack([rs(6 + d) for d in range(D)], axis=-1)
+    return bin_gaussians(
+        rs(0), rs(1), rs(2), rs(3), rs(4), rs(5), colors, radii, depths,
+        ts, tw, th, capacity=capA, cull=cull,
+    )
+
+
+def _raster_binned_fwd(cfg, packed, absc, radii, depths):
+    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
+    NF = binned.entries.shape[0]
+    entries = jnp.pad(binned.entries, ((0, F - NF), (0, 0)))
+    accum, logT, last = _fwd_call(cfg, entries, binned.offs, binned.cnts)
+    res = (entries, binned.gids, binned.offs, binned.cnts, logT, last)
+    return (accum, logT, binned.n_isects, binned.slab_required), res
+
+
+def _raster_binned_bwd(cfg, res, cts):
+    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    entries, gids, offs, cnts, logT, last = res
+    v_accum, v_logT, _, _ = cts
+    acnt = ((cnts + K - 1) // K + 1) * K  # +K: astart may precede offs
+    aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
+    capA2 = _round_up(capA + 2 * K * T, LANES)
+    vgr = _bwd_call(
+        cfg, entries, gids, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT
+    )
+    gid_f = vgr[0]
+    ops = (gid_f.astype(jnp.int32),) + tuple(vgr[1 : GR])
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    gid_s = sorted_ops[0]
+    vg_s = jnp.stack(sorted_ops[1:], axis=0)
+    red = _reduce_call(gid_s, vg_s, M=C * N, GRm1=GR - 1, interpret=interpret)
+    # red rows: v_gx, v_gy, v_ca, v_cb, v_cc, v_op, v_col[D], (abs x2)
+    v_packed = jnp.concatenate(
+        [red[: 6 + D], jnp.zeros((F - 6 - D, C * N), jnp.float32)], axis=0
+    )
+    if absgrad:
+        v_absc = red[6 + D : 8 + D]
+    else:
+        v_absc = jnp.zeros((2, C * N), jnp.float32)
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return v_packed, v_absc, zi(jnp.zeros((C, N), jnp.int32)), jnp.zeros((C, N), jnp.float32)
+
+
+_raster_binned.defvjp(_raster_binned_fwd, _raster_binned_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def rasterize_to_pixels_binned(
+    means2d,  # [C, N, 2] or (mean_x, mean_y) [C, N] tuple
+    conics,  # [C, N, 3] or (a, b, c) tuple
+    colors: jax.Array,  # [C, N, D]
+    opacities: jax.Array,  # [C, N]
+    radii: jax.Array,  # [C, N] i32
+    depths: jax.Array,  # [C, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int,
+    capacity: int,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+    abs_carrier: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cull: bool = True,
+    batch_size: int = LANES,
+):
+    """Rasterize via the binning engine (emit -> payload sort -> kernels).
+
+    Returns (render_colors [C,H,W,D], render_alphas [C,H,W,1], aux) where
+    aux = {"n_isects", "slab_required"} for the out-of-jit capacity loop.
+    Semantics identical to rasterize_to_pixels_ref / rasterize_to_pixels_tiled.
+    """
+    if isinstance(means2d, (tuple, list)):
+        mean_x, mean_y = means2d
+    else:
+        mean_x, mean_y = means2d[..., 0], means2d[..., 1]
+    if isinstance(conics, (tuple, list)):
+        con_a, con_b, con_c = conics
+    else:
+        con_a, con_b, con_c = conics[..., 0], conics[..., 1], conics[..., 2]
+    C, N = mean_x.shape
+    D = colors.shape[-1]
+    ts = tile_size
+    th = -(-image_height // ts)
+    tw = -(-image_width // ts)
+    T = C * th * tw
+    P = ts * ts
+    Dp = _round_up(D, 8)
+    F = _round_up(6 + Dp, 8)
+    K = batch_size
+    assert K % LANES == 0
+    GR = _round_up(1 + 6 + D + (2 if abs_carrier is not None else 0), 8)
+
+    rows = [
+        mean_x.reshape(-1), mean_y.reshape(-1),
+        con_a.reshape(-1), con_b.reshape(-1), con_c.reshape(-1),
+        opacities.reshape(-1),
+    ] + [colors[..., d].reshape(-1) for d in range(D)]
+    rows += [jnp.zeros((C * N,), jnp.float32)] * (F - len(rows))
+    packed = jnp.stack(rows, axis=0).astype(jnp.float32)
+
+    if abs_carrier is not None:
+        absc = jnp.stack(
+            [abs_carrier[0].reshape(-1), abs_carrier[1].reshape(-1)], axis=0
+        ).astype(jnp.float32)
+    else:
+        absc = jnp.zeros((2, C * N), jnp.float32)
+
+    cfg = (
+        C, N, T, th, tw, ts, P, D, Dp, F, K,
+        _round_up(capacity, 512), GR, _interpret(),
+        abs_carrier is not None, cull,
+    )
+    accum, logT, n_isects, slab_required = _raster_binned(
+        cfg, packed, absc, radii, depths
+    )
+
+    img = accum[:, :D, :].reshape(C, th, tw, D, ts, ts)
+    img = jnp.transpose(img, (0, 1, 4, 2, 5, 3)).reshape(
+        C, th * ts, tw * ts, D
+    )[:, :image_height, :image_width]
+    Tfin = jnp.exp(logT).reshape(C, th, tw, ts, ts)
+    Tfin = jnp.transpose(Tfin, (0, 1, 3, 2, 4)).reshape(C, th * ts, tw * ts)[
+        :, :image_height, :image_width
+    ]
+    alphas = 1.0 - Tfin
+    if backgrounds is not None:
+        img = img + Tfin[..., None] * backgrounds[:, None, None, :]
+    aux = {"n_isects": n_isects, "slab_required": slab_required}
+    return img, alphas[..., None], aux

@@ -24,6 +24,7 @@ gsplat/triton_impl/rasterize_to_pixels_fwd.py:60-200):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -127,6 +128,85 @@ def rasterize_to_pixels_ref(
         render.reshape(C, image_height, image_width, D),
         render_alphas.reshape(C, image_height, image_width, 1),
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def rasterize_to_pixels_ref_absgrad(
+    means2d,  # [C, N, 2]
+    conics,  # [C, N, 3]
+    colors,  # [C, N, D]
+    opacities,  # [C, N]
+    radii,  # [C, N] int32
+    depths,  # [C, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int,
+    backgrounds,  # [C, D] (pass zeros rather than None)
+    abs_carrier,  # [C, N, 2] zeros; cotangent = per-tile absgrad
+):
+    """Oracle rasterize whose extra ``abs_carrier`` input has the reference's
+    absgrad statistic as its gradient: sum over tiles of |per-tile d mu2d|
+    (gsplat/triton_impl/rasterize_to_pixels_bwd.py:282-292 accumulates
+    |gradient| per tile inside the kernel, so a Gaussian spanning several
+    tiles gets the sum of absolute per-tile contributions, not the absolute
+    value of their sum). Forward output is independent of ``abs_carrier``.
+
+    The backward replays one masked-cotangent VJP per tile — O(T x forward),
+    oracle/test use only.
+    """
+    return rasterize_to_pixels_ref(
+        means2d, conics, colors, opacities, radii, depths,
+        image_width, image_height, tile_size, backgrounds,
+    )
+
+
+def _ref_absgrad_fwd(
+    means2d, conics, colors, opacities, radii, depths, W, H, ts,
+    backgrounds, abs_carrier,
+):
+    out = rasterize_to_pixels_ref(
+        means2d, conics, colors, opacities, radii, depths, W, H, ts,
+        backgrounds,
+    )
+    return out, (means2d, conics, colors, opacities, radii, depths, backgrounds)
+
+
+def _ref_absgrad_bwd(W, H, ts, res, cts):
+    means2d, conics, colors, opacities, radii, depths, backgrounds = res
+    tile_width = -(-W // ts)
+    tile_height = -(-H // ts)
+
+    def f(m2, co, cl, op, bg):
+        return rasterize_to_pixels_ref(
+            m2, co, cl, op, radii, depths, W, H, ts, bg
+        )
+
+    _, vjp = jax.vjp(f, means2d, conics, colors, opacities, backgrounds)
+    g_m2, g_co, g_cl, g_op, g_bg = vjp(cts)
+
+    _, vjp_m = jax.vjp(lambda m2: f(m2, conics, colors, opacities, backgrounds), means2d)
+    py, px = jnp.mgrid[0:H, 0:W]
+    tid = (py // ts) * tile_width + (px // ts)  # [H, W]
+    v_render, v_alpha = cts
+
+    def per_tile(t):
+        m = (tid == t)[None, :, :, None].astype(v_render.dtype)
+        (g,) = vjp_m((v_render * m, v_alpha * m))
+        return jnp.abs(g)
+
+    absg = jax.lax.map(per_tile, jnp.arange(tile_width * tile_height))
+    v_absc = jnp.sum(absg, axis=0)  # [C, N, 2]
+
+    import numpy as _np
+
+    zi = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
+    return (
+        g_m2, g_co, g_cl, g_op, zi(radii), jnp.zeros_like(depths), g_bg,
+        v_absc,
+    )
+
+
+rasterize_to_pixels_ref_absgrad.defvjp(_ref_absgrad_fwd, _ref_absgrad_bwd)
 
 
 def rasterize_to_indices_in_range(

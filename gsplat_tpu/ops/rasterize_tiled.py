@@ -468,6 +468,49 @@ def _raster_entries_bwd(cfg, res, cts):
 _raster_entries.defvjp(_raster_entries_fwd, _raster_entries_bwd)
 
 
+# Custom VJP spanning gather + kernel, so the backward can fuse extra rows
+# into the single gradient scatter-add. `absc` [2, M] is a zeros carrier
+# whose cotangent is the reference's absgrad statistic: per-tile screen-space
+# gradient magnitudes summed per Gaussian (|d mu2d| accumulated per tile in
+# gsplat/triton_impl/rasterize_to_pixels_bwd.py:282-292) — NOT |sum over
+# tiles|. Because XLA scatter cost is per-index, the two extra rows ride the
+# same scatter for free.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _raster_packed(cfg, packed, absc, ids_al, offs, cnts):
+    entries = jnp.take(packed, ids_al, axis=1)
+    accum, logT, _ = _fwd_call(cfg[:11], entries, offs, cnts)
+    return accum, logT
+
+
+def _raster_packed_fwd(cfg, packed, absc, ids_al, offs, cnts):
+    entries = jnp.take(packed, ids_al, axis=1)
+    accum, logT, last = _fwd_call(cfg[:11], entries, offs, cnts)
+    return (accum, logT), (entries, ids_al, offs, cnts, logT, last)
+
+
+def _raster_packed_bwd(cfg, res, cts):
+    (T, th, tw, ts, P, D, Dp, F, K, capA, interpret, M, absgrad) = cfg
+    entries, ids_al, offs, cnts, logT, last = res
+    v_accum, v_logT = cts
+    v_entries = _bwd_call(
+        cfg[:11], entries, offs, cnts, logT, last, v_accum, v_logT
+    )
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    if absgrad:
+        vext = jnp.concatenate([v_entries, jnp.abs(v_entries[0:2])], axis=0)
+        scat = jnp.zeros((F + 2, M), jnp.float32).at[:, ids_al].add(vext)
+        v_packed, v_absc = scat[:F], scat[F:]
+    else:
+        v_packed = jnp.zeros((F, M), jnp.float32).at[:, ids_al].add(v_entries)
+        v_absc = jnp.zeros((2, M), jnp.float32)
+    return v_packed, v_absc, zi(ids_al), zi(offs), zi(cnts)
+
+
+_raster_packed.defvjp(_raster_packed_fwd, _raster_packed_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -484,6 +527,7 @@ def rasterize_to_pixels_tiled(
     isect: Isect,
     backgrounds: Optional[jax.Array] = None,  # [C, D]
     batch_size: int = LANES,
+    abs_carrier: Optional[Tuple[jax.Array, jax.Array]] = None,  # ([C,N], [C,N])
 ) -> Tuple[jax.Array, jax.Array]:
     """Rasterize depth-sorted, tile-binned Gaussians with Pallas TPU kernels.
 
@@ -491,6 +535,11 @@ def rasterize_to_pixels_tiled(
     Semantics identical to :func:`rasterize_to_pixels_ref`. ``means2d`` and
     ``conics`` may be passed SoA ([C, N] component arrays) to keep every
     XLA-materialized buffer lane-friendly (see ops/projection.py docstring).
+
+    ``abs_carrier``: optional pair of zero [C, N] arrays; differentiating
+    w.r.t. them yields the reference's absgrad statistic (per-tile |d mu2d|
+    sums, rasterize_to_pixels_bwd.py:282-292). The forward output does not
+    depend on them.
     """
     if isinstance(means2d, (tuple, list)):
         mean_x, mean_y = means2d
@@ -550,11 +599,19 @@ def rasterize_to_pixels_tiled(
     # XLA pick a slow per-element gather path (~4x, measured); a standalone
     # gather over a materialized table runs near the per-index floor.
     packed, ids_al = jax.lax.optimization_barrier((packed, ids_al))
-    entries = jnp.take(packed, ids_al, axis=1)  # [F, capA]
 
-    cfg = (T, th, tw, ts, P, D, Dp, F, K, capA, _interpret())
-    accum, logT = _raster_entries(
-        cfg, entries, aoff[:-1], counts.astype(jnp.int32)
+    if abs_carrier is not None:
+        absc = jnp.stack(
+            [abs_carrier[0].reshape(-1), abs_carrier[1].reshape(-1)], axis=0
+        ).astype(jnp.float32)
+    else:
+        absc = jnp.zeros((2, C * N), jnp.float32)
+    cfg = (
+        T, th, tw, ts, P, D, Dp, F, K, capA, _interpret(), C * N,
+        abs_carrier is not None,
+    )
+    accum, logT = _raster_packed(
+        cfg, packed, absc, ids_al, aoff[:-1], counts.astype(jnp.int32)
     )
 
     img = accum[:, :D, :].reshape(C, th, tw, D, ts, ts)

@@ -62,11 +62,18 @@ def rasterization(
     isect_capacity: Optional[int] = None,
     means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros
     masks: Optional[jax.Array] = None,  # [N] bool, False = skip (dead pool slot)
+    absgrad: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Rasterize N 3D Gaussians to C image planes.
 
     Returns (render_colors [C, H, W, X], render_alphas [C, H, W, 1], meta).
     X = D (+1 if render_mode includes depth).
+
+    ``absgrad``: when True, the gradient w.r.t. ``means2d_carrier`` is the
+    reference's absgrad statistic — |screen-space gradient| accumulated **per
+    tile** inside the backward (gsplat/triton_impl/rasterize_to_pixels_bwd.py:
+    282-292, wrapper attach :156-157) — instead of the plain summed gradient.
+    The rendered output is unchanged.
     """
     N = means.shape[0]
     C = viewmats.shape[0]
@@ -104,7 +111,7 @@ def rasterization(
         # the reference reshapes params instead — gsplat/strategy/ops.py).
         radii = jnp.where(masks[None, :], radii, 0)
 
-    if means2d_carrier is not None:
+    if means2d_carrier is not None and not absgrad:
         mean_x = mean_x + means2d_carrier[..., 0]
         mean_y = mean_y + means2d_carrier[..., 1]
 
@@ -156,11 +163,24 @@ def rasterization(
         conics = jnp.stack(conics_soa, axis=-1)
         meta["means2d"] = means2d
 
-        def _fn(col, bg):
-            return rasterize_to_pixels_ref(
-                means2d, conics, col, opacities_cn, radii, depths,
-                width, height, tile_size, bg,
-            )
+        if absgrad and means2d_carrier is not None:
+            from .ops.rasterize_ref import rasterize_to_pixels_ref_absgrad
+
+            def _fn(col, bg):
+                bg = bg if bg is not None else jnp.zeros(
+                    (C, col.shape[-1]), col.dtype
+                )
+                return rasterize_to_pixels_ref_absgrad(
+                    means2d, conics, col, opacities_cn, radii, depths,
+                    width, height, tile_size, bg, means2d_carrier,
+                )
+        else:
+
+            def _fn(col, bg):
+                return rasterize_to_pixels_ref(
+                    means2d, conics, col, opacities_cn, radii, depths,
+                    width, height, tile_size, bg,
+                )
 
         render_colors, render_alphas = _rasterize_chunked(
             _fn, channel_chunk, colors_cn, backgrounds
@@ -182,10 +202,15 @@ def rasterization(
             }
         )
 
+        abs_c = None
+        if absgrad and means2d_carrier is not None:
+            abs_c = (means2d_carrier[..., 0], means2d_carrier[..., 1])
+
         def _fn(col, bg):
             return rasterize_to_pixels_tiled(
                 (mean_x, mean_y), conics_soa, col, opacities_cn,
                 width, height, tile_size, isect, backgrounds=bg,
+                abs_carrier=abs_c,
             )
 
         render_colors, render_alphas = _rasterize_chunked(
@@ -302,13 +327,22 @@ def rasterization_2dgs(
         colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=sh_masks)
         colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
 
-    # depth channel is always appended: the 2DGS kernel reads the last
-    # channel as depth for distortion/median (RasterizeToPixels2DGSFwd.cu:391)
-    colors_cn = jnp.concatenate([colors_cn, depths[..., None]], axis=-1)
-    if backgrounds is not None:
-        backgrounds = jnp.concatenate(
-            [backgrounds, jnp.zeros((C, 1), backgrounds.dtype)], axis=-1
-        )
+    # Channel layout matches the reference exactly (gsplat/rendering.py:
+    # 1249-1258): depth is appended only for RGB+D/RGB+ED, replaces the
+    # colors for D/ED, and plain RGB gets nothing extra. The kernel reads
+    # the LAST channel as depth for distortion/median either way
+    # (RasterizeToPixels2DGSFwd.cu:391) — so in plain RGB mode those outputs
+    # are computed from the blue channel, same quirk as the reference.
+    if render_mode in ("RGB+D", "RGB+ED"):
+        colors_cn = jnp.concatenate([colors_cn, depths[..., None]], axis=-1)
+        if backgrounds is not None:
+            backgrounds = jnp.concatenate(
+                [backgrounds, jnp.zeros((C, 1), backgrounds.dtype)], axis=-1
+            )
+    elif render_mode in ("D", "ED"):
+        colors_cn = depths[..., None]
+        if backgrounds is not None:
+            backgrounds = jnp.zeros((C, 1), backgrounds.dtype)
 
     if backend == "auto":
         backend = "tiled" if isect_capacity is not None else "oracle"
@@ -347,22 +381,34 @@ def rasterization_2dgs(
             axis=-1,
         )
 
-    # normals from depth for the normal-consistency loss
-    # (gsplat/rendering.py:1293-1302)
-    camtoworlds = jnp.linalg.inv(viewmats)
-    depth_map = render_colors[..., -1:]
-    normals_from_depth = depth_to_normal(depth_map, camtoworlds, Ks) * (
-        render_alphas
-    )
+    # normals from depth for the normal-consistency loss: only for modes
+    # that render a real depth channel, with depth_mode selecting the
+    # expected vs per-pixel median depth (gsplat/rendering.py:1293-1302).
+    # Like the reference, the alpha modulation is left to the caller
+    # (reference trainer does `normals_from_depth *= alphas.detach()`,
+    # examples/simple_trainer_2dgs.py:618).
+    normals_from_depth = None
+    if render_mode in ("RGB+D", "RGB+ED"):
+        if depth_mode == "expected":
+            depth_for_normal = render_colors[..., -1:]
+        elif depth_mode == "median":
+            depth_for_normal = render_median
+        else:
+            raise ValueError(f"Unknown depth_mode: {depth_mode}")
+        camtoworlds = jnp.linalg.inv(viewmats)
+        normals_from_depth = depth_to_normal(depth_for_normal, camtoworlds, Ks)
+
+    # distloss=False matches the reference kernel's skip: the distortion
+    # output stays zeros and carries no gradient
+    # (RasterizeToPixels2DGSFwd.cu: `render_distort != nullptr` guard).
+    if not distloss:
+        render_distort = jnp.zeros_like(jax.lax.stop_gradient(render_distort))
 
     # rotate rendered normals into the world frame (gsplat/rendering.py:1327)
     R_wc = jnp.swapaxes(viewmats[:, :3, :3], -1, -2)  # [C, 3, 3]
     render_normals = jnp.einsum(
         "cij,chwj->chwi", R_wc, render_normals
     )
-
-    if render_mode in ("RGB",):
-        render_colors = render_colors[..., :-1]
 
     return (
         render_colors,

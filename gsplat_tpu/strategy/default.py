@@ -160,6 +160,11 @@ class DefaultStrategy(Strategy):
         schedule (default.py:152-201). `step` is a Python int, so schedule
         branches stay out of the traced graph; the traced bodies are
         jit-cached (one compile per static branch combination)."""
+        # The whole body (state update, refine, opacity reset) stops at
+        # refine_stop_iter, matching the reference's early return
+        # (gsplat/strategy/default.py:162-163).
+        if step >= self.refine_stop_iter:
+            return params, live, opt_state, state
 
         def upd(state, radii, v_means2d):
             m = dict(meta)
@@ -170,7 +175,7 @@ class DefaultStrategy(Strategy):
             ("upd", meta["width"], meta["height"], meta["n_cameras"]), upd
         )(state, meta["radii"], v_means2d)
         if (
-            self.refine_start_iter < step < self.refine_stop_iter
+            self.refine_start_iter < step
             and step % self.refine_every == 0
             and step % self.reset_every >= self.pause_refine_after_reset
         ):
@@ -188,7 +193,7 @@ class DefaultStrategy(Strategy):
             params, live, opt_state, state = self._jitted(
                 ("refine", flags), refine
             )(params, live, opt_state, state, key)
-        if step % self.reset_every == 0 and step > 0:
+        if step % self.reset_every == 0:
             params, op_state = self._jitted(
                 ("reset",),
                 lambda p, l, o: ops.reset_opa(p, l, 2.0 * self.prune_opa, o),

@@ -298,18 +298,25 @@ def inject_noise_to_position(
     """Perturb positions with opacity-gated anisotropic noise
     (gsplat/strategy/ops.py:343-369): noise ~ covar @ N(0,1), scaled by
     sigmoid(-100 * (opacity - 0.005))-style gate and `lr * noise_lr`."""
+    from ..ops.projection import _covar_components, _sym_get
+
     op_sig = jax.nn.sigmoid(params["opacities"])
     scales = jnp.exp(params["scales"])
-    rot = quat_to_rotmat(params["quats"])
-    m = rot * scales[..., None, :]
-    covars = m @ jnp.swapaxes(m, -1, -2)
 
     def op_gate(x, k=100.0, x0=0.995):
         return 1.0 / (1.0 + jnp.exp(-k * (x - x0)))
 
+    # Componentwise covar @ z: never materializes [cap, 3, 3] tensors
+    # (3-wide minor dims tile-pad catastrophically on TPU; see
+    # ops/projection.py docstring). cov holds 6 symmetric [cap] arrays.
+    cov = _covar_components(params["quats"], scales)
     z = jax.random.normal(key, params["means"].shape, params["means"].dtype)
-    noise = z * op_gate(1.0 - op_sig)[:, None] * scaler
-    noise = jnp.einsum("nij,nj->ni", covars, noise)
+    gate = op_gate(1.0 - op_sig) * scaler  # [cap]
+    zc = [z[:, j] * gate for j in range(3)]
+    noise = jnp.stack(
+        [sum(_sym_get(cov, i, j) * zc[j] for j in range(3)) for i in range(3)],
+        axis=-1,
+    )
     params = dict(params)
     params["means"] = params["means"] + jnp.where(live[:, None], noise, 0.0)
     return params

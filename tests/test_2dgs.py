@@ -90,9 +90,11 @@ def test_rasterization_2dgs_end_to_end(rng):
         jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
         jnp.asarray(opac), jnp.asarray(colors),
         jnp.asarray(viewmats), jnp.asarray(Ks), W, H,
+        render_mode="RGB+ED", distloss=True,
     )
     render, alphas, normals, normals_depth, distort, median, meta = out
-    assert render.shape == (1, H, W, 3)
+    assert render.shape == (1, H, W, 4)
+    render = render[..., :3]
     assert alphas.shape == (1, H, W, 1)
     assert normals.shape == (1, H, W, 3)
     assert normals_depth.shape == (1, H, W, 3)
@@ -132,3 +134,39 @@ def test_rasterization_2dgs_grads(rng):
         assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(grads[0]).max()) > 0  # means get gradients
     assert float(jnp.abs(grads[4]).max()) > 0  # colors get gradients
+
+
+def test_rasterization_2dgs_render_modes(rng):
+    """Render-mode channel semantics match gsplat/rendering.py:1249-1302:
+    D/ED are depth-only [C,H,W,1], RGB is 3-channel with no
+    normals_from_depth, depth_mode switches expected/median depth."""
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=100, C=1, W=32, H=32
+    )
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors),
+        jnp.asarray(viewmats), jnp.asarray(Ks), W, H,
+    )
+
+    render, _, _, nfd, distort, _, _ = rasterization_2dgs(
+        *args, render_mode="RGB"
+    )
+    assert render.shape == (1, H, W, 3)
+    assert nfd is None
+    # distloss defaults to False -> distortion is zeros (kernel-skip parity)
+    assert float(jnp.abs(distort).max()) == 0.0
+
+    for mode in ("D", "ED"):
+        render, _, _, nfd, _, _, _ = rasterization_2dgs(
+            *args, render_mode=mode
+        )
+        assert render.shape == (1, H, W, 1), mode
+        assert nfd is None
+
+    out_e = rasterization_2dgs(*args, render_mode="RGB+ED", depth_mode="expected")
+    out_m = rasterization_2dgs(*args, render_mode="RGB+ED", depth_mode="median")
+    assert out_e[3].shape == (1, H, W, 3)
+    assert out_m[3].shape == (1, H, W, 3)
+    # expected vs median depth differ somewhere -> different normals
+    assert float(jnp.abs(out_e[3] - out_m[3]).max()) > 0

@@ -170,3 +170,76 @@ def test_tiled_channel_chunking_and_modes(rng):
             backend="tiled", isect_capacity=4096,
         )
         np.testing.assert_allclose(r0, r1, atol=2e-4, rtol=1e-3, err_msg=mode)
+
+
+def test_absgrad_per_tile_semantics(rng):
+    """absgrad = sum over tiles of |per-tile d mu2d| (reference
+    rasterize_to_pixels_bwd.py:282-292), for both backends, and differs
+    from |sum over tiles| for multi-tile Gaussians."""
+    from gsplat_tpu.ops.rasterize_ref import rasterize_to_pixels_ref_absgrad
+
+    C, W, H, ts = 1, 64, 48, 16
+    radii, means2d, depths, conics, colors, opac = _scene(
+        rng, N=120, C=C, W=W, H=H
+    )
+    tw, th = -(-W // ts), -(-H // ts)
+    isect = isect_tiles(means2d, radii, depths, ts, tw, th, capacity=8192)
+    bg = jnp.zeros((C, 3), jnp.float32)
+    wr = jnp.asarray(rng.standard_normal((C, H, W, 3)).astype(np.float32))
+    wa = jnp.asarray(rng.standard_normal((C, H, W, 1)).astype(np.float32))
+
+    def loss_oracle(carrier):
+        r, a = rasterize_to_pixels_ref_absgrad(
+            means2d, conics, colors, opac, radii, depths, W, H, ts, bg,
+            carrier,
+        )
+        return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+    def loss_tiled(carrier):
+        r, a = rasterize_to_pixels_tiled(
+            means2d, conics, colors, opac, W, H, ts, isect, backgrounds=bg,
+            abs_carrier=(carrier[..., 0], carrier[..., 1]),
+        )
+        return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+    def loss_plain(m2d):
+        r, a = rasterize_to_pixels_ref(
+            m2d, conics, colors, opac, radii, depths, W, H, ts, bg
+        )
+        return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+    zc = jnp.zeros_like(means2d)
+    g_oracle = jax.grad(loss_oracle)(zc)
+    g_tiled = jax.grad(loss_tiled)(zc)
+    g_sum = jax.grad(loss_plain)(means2d)
+
+    assert np.all(np.asarray(g_oracle) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(g_tiled), np.asarray(g_oracle), rtol=1e-4, atol=1e-5
+    )
+    # per-tile abs >= |sum|, strictly greater for some multi-tile Gaussian
+    assert np.all(
+        np.asarray(g_oracle) - np.abs(np.asarray(g_sum)) >= -1e-5
+    )
+    assert float(jnp.max(g_oracle - jnp.abs(g_sum))) > 1e-4
+
+    # the rendered forward and the true param gradients are unchanged
+    r1, _ = rasterize_to_pixels_tiled(
+        means2d, conics, colors, opac, W, H, ts, isect, backgrounds=bg,
+        abs_carrier=(zc[..., 0], zc[..., 1]),
+    )
+    r0, _ = rasterize_to_pixels_tiled(
+        means2d, conics, colors, opac, W, H, ts, isect, backgrounds=bg,
+    )
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-6)
+
+    def loss_means_tiled(m2d, use_abs):
+        r, a = rasterize_to_pixels_tiled(
+            m2d, conics, colors, opac, W, H, ts, isect, backgrounds=bg,
+            abs_carrier=(zc[..., 0], zc[..., 1]) if use_abs else None,
+        )
+        return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+    gm1 = jax.grad(lambda m: loss_means_tiled(m, True))(means2d)
+    gm0 = jax.grad(lambda m: loss_means_tiled(m, False))(means2d)
+    np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm0), atol=1e-6)

@@ -329,6 +329,11 @@ def bin_gaussians(
     cnts = bounds[1:] - bounds[:-1]
     n_isects = bounds[-1]
 
+    # Sentinel slots sort past n_isects but hold uninitialized HBM bytes
+    # (possibly NaN); the kernels' masked math still computes NaN*0 through
+    # the color matmul, so zero the tail once here.
+    entries = jnp.where(pos[None, :] < n_isects, entries, 0.0)
+
     return Binned(
         entries=entries,
         gids=gid_s[None, :],

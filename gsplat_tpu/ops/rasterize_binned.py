@@ -395,16 +395,12 @@ def _reduce_kernel(
         )
         return acc
 
+    # every started copy is waited inside body (prefetch for b+1 is waited
+    # by iteration b+1, which always runs when the prefetch was issued)
     acc = jax.lax.fori_loop(
         0, nb, body, jnp.zeros((GRm1, RCHUNK), jnp.float32)
     )
     out_ref[...] = acc
-
-    @pl.when(nb > 0)
-    def _():
-        # drain the speculative prefetch of the final iteration
-        _ecopy(gid_hbm, gbuf, gsem, alo + (nb - 1) * RK, jax.lax.rem(nb - 1, 2), RK).wait()
-        _ecopy(vg_hbm, vbuf, vsem, alo + (nb - 1) * RK, jax.lax.rem(nb - 1, 2), RK).wait()
 
 
 def _reduce_call(gid_sorted, vg_sorted, M: int, GRm1: int, interpret: bool):

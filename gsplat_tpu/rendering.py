@@ -185,6 +185,36 @@ def rasterization(
         render_colors, render_alphas = _rasterize_chunked(
             _fn, channel_chunk, colors_cn, backgrounds
         )
+    elif backend == "binned":
+        from .ops.rasterize_binned import rasterize_to_pixels_binned
+
+        tile_width = math.ceil(width / tile_size)
+        tile_height = math.ceil(height / tile_size)
+        abs_c = None
+        if absgrad and means2d_carrier is not None:
+            abs_c = (means2d_carrier[..., 0], means2d_carrier[..., 1])
+        aux_out = {}
+
+        def _fn(col, bg):
+            r, a, aux = rasterize_to_pixels_binned(
+                (mean_x, mean_y), conics_soa, col, opacities_cn,
+                radii, depths, width, height, tile_size,
+                capacity=isect_capacity, backgrounds=bg, abs_carrier=abs_c,
+            )
+            aux_out.update(aux)
+            return r, a
+
+        render_colors, render_alphas = _rasterize_chunked(
+            _fn, channel_chunk, colors_cn, backgrounds
+        )
+        meta.update(
+            {
+                "tile_width": tile_width,
+                "tile_height": tile_height,
+                "n_isects": aux_out["n_isects"],
+                "slab_required": aux_out["slab_required"],
+            }
+        )
     elif backend == "tiled":
         from .ops.rasterize_tiled import rasterize_to_pixels_tiled
 

@@ -1,0 +1,153 @@
+"""On-device parity + perf for the binned pipeline (vs oracle / old tiled).
+
+Usage: python scripts/check_binned_tpu.py [bench]
+  parity: small scene, binned vs oracle values + grads on real TPU
+  bench:  grid5 1080p fwd+bwd stage timing, binned vs tiled
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+
+print("backend:", jax.default_backend(), flush=True)
+
+
+def parity():
+    from gsplat_tpu.ops.projection import fully_fused_projection
+    from gsplat_tpu.ops.rasterize_ref import rasterize_to_pixels_ref
+    from gsplat_tpu.ops.rasterize_binned import rasterize_to_pixels_binned
+
+    rng = np.random.default_rng(0)
+    N, C, W, H, ts, D = 300, 2, 64, 48, 16, 3
+    means = rng.standard_normal((N, 3)).astype(np.float32)
+    quats = rng.standard_normal((N, 4)).astype(np.float32)
+    scales = (rng.random((N, 3)) * 0.3 + 0.05).astype(np.float32)
+    opac = rng.random((N,)).astype(np.float32)
+    colors = rng.random((C, N, D)).astype(np.float32)
+    vm = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    vm[:, 2, 3] = 4.0
+    vm[1, 0, 3] = 0.3
+    Ks = np.tile(np.array([[30., 0, W/2], [0, 30., H/2], [0, 0, 1]], np.float32), (C, 1, 1))
+    bg = jnp.asarray(rng.random((C, D)).astype(np.float32))
+
+    radii, means2d, depths, conics, _ = fully_fused_projection(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(vm), jnp.asarray(Ks), W, H)
+    opc = jnp.broadcast_to(jnp.asarray(opac)[None], (C, N))
+    cols = jnp.asarray(colors)
+
+    wr = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+    wa = jnp.asarray(rng.standard_normal((C, H, W, 1)).astype(np.float32))
+
+    def loss_ref(m2d, con, col, op):
+        r, a = rasterize_to_pixels_ref(m2d, con, col, op, radii, depths, W, H, ts, bg)
+        return jnp.sum(r * wr) + jnp.sum(a * wa), (r, a)
+
+    def loss_bin(m2d, con, col, op):
+        r, a, aux = rasterize_to_pixels_binned(
+            m2d, con, col, op, radii, depths, W, H, ts,
+            capacity=16384, backgrounds=bg, cull=True)
+        return jnp.sum(r * wr) + jnp.sum(a * wa), (r, a)
+
+    (l0, (r0, a0)), g0 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3), has_aux=True)(
+        means2d, conics, cols, opc)
+    (l1, (r1, a1)), g1 = jax.value_and_grad(loss_bin, argnums=(0, 1, 2, 3), has_aux=True)(
+        means2d, conics, cols, opc)
+    print("color maxdiff:", float(jnp.abs(r0 - r1).max()), flush=True)
+    print("alpha maxdiff:", float(jnp.abs(a0 - a1).max()), flush=True)
+    ok = True
+    for a, b, name in zip(g0, g1, ("means2d", "conics", "colors", "opac")):
+        d = float(jnp.abs(a - b).max())
+        s = float(jnp.abs(a).max())
+        print(f"grad {name}: maxdiff {d:.3e} (scale {s:.3e})", flush=True)
+        ok = ok and d <= 1e-3 * max(s, 1.0)
+    cd = float(jnp.abs(r0 - r1).max())
+    ad = float(jnp.abs(a0 - a1).max())
+    print("PARITY", "OK" if (ok and cd < 1e-4 and ad < 1e-4) else "FAIL", flush=True)
+
+
+def bench():
+    from gsplat_tpu import load_test_data
+    from gsplat_tpu.ops.projection import fully_fused_projection
+    from gsplat_tpu.ops.rasterize_binned import rasterize_to_pixels_binned
+    from gsplat_tpu.ops.rasterize_tiled import rasterize_to_pixels_tiled
+    from gsplat_tpu.ops.isect import isect_tiles, suggest_capacity
+
+    ts = int(os.environ.get("TS", 32))
+    means, quats, scales, opacities, colors, viewmats, Ks, width, height = (
+        load_test_data(scene_grid=5))
+    scale = 1920.0 / width
+    Ks = Ks.copy(); Ks[:, :2, :] *= scale
+    width, height = 1920, 1080
+    C = 1
+    viewmats, Ks = viewmats[:C], Ks[:C]
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opacities, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    N = means.shape[0]
+
+    radii, means2d, depths, conics, _ = jax.jit(
+        lambda m, q, s: fully_fused_projection(m, q, s, vm, K, width, height)
+    )(args[0], args[1], args[2])
+    opc = jnp.broadcast_to(jnp.asarray(opacities)[None], (C, N))
+    cols = jnp.broadcast_to(jnp.asarray(colors)[None], (C, N, 3))
+    tw, th = -(-width // ts), -(-height // ts)
+
+    # probe capacities
+    from gsplat_tpu.ops.binning import bin_gaussians
+    probe = bin_gaussians(
+        means2d[..., 0], means2d[..., 1], conics[..., 0], conics[..., 1],
+        conics[..., 2], opc, cols, radii, depths, ts, tw, th,
+        capacity=512, cull=True)
+    slab_need = int(probe.slab_required)
+    probe_nc = bin_gaussians(
+        means2d[..., 0], means2d[..., 1], conics[..., 0], conics[..., 1],
+        conics[..., 2], opc, cols, radii, depths, ts, tw, th,
+        capacity=slab_need + 1024, cull=True)
+    print(f"ts={ts} slab_required={slab_need} n_isects_culled={int(probe_nc.n_isects)}",
+          flush=True)
+    cap_b = slab_need + 1024
+    isect_probe = isect_tiles(means2d, radii, depths, ts, tw, th, capacity=8)
+    cap_t = suggest_capacity(int(isect_probe.n_isects), slack=1.05)
+    print(f"uncull n_isects={int(isect_probe.n_isects)} cap_tiled={cap_t}", flush=True)
+
+    wr = jnp.ones((C, height, width, 3), jnp.float32)
+    wa = jnp.ones((C, height, width, 1), jnp.float32)
+
+    def make_step(kind):
+        def loss(m2d_x, m2d_y, con, col, op):
+            if kind == "binned":
+                r, a, _ = rasterize_to_pixels_binned(
+                    (m2d_x, m2d_y), con, col, op, radii, depths,
+                    width, height, ts, capacity=cap_b, cull=True)
+            else:
+                isect = isect_tiles((m2d_x, m2d_y), radii, depths, ts, tw, th,
+                                    capacity=cap_t)
+                r, a = rasterize_to_pixels_tiled(
+                    (m2d_x, m2d_y), con, col, op, width, height, ts, isect)
+            return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    con = (conics[..., 0], conics[..., 1], conics[..., 2])
+    for kind in ("binned", "tiled"):
+        if kind == "tiled" and ts > 32:
+            continue
+        step = make_step(kind)
+        mx = means2d[..., 0]
+        out = step(mx, means2d[..., 1], con, cols, opc)
+        jax.block_until_ready(out)
+        iters = 6
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = step(mx + np.float32((i + 1) * 1e-6), means2d[..., 1], con, cols, opc)
+        jax.block_until_ready(out)
+        np.asarray(jax.device_get(out[0].ravel()[:1]))
+        dt = (time.perf_counter() - t0) / iters
+        px = C * width * height / dt
+        print(f"{kind}: {dt*1e3:.1f} ms/frame fwd+bwd -> {px:.3e} px/s "
+              f"({px/1.286e8:.4f}x baseline)", flush=True)
+
+
+for mode in sys.argv[1:] or ["parity"]:
+    globals()[mode]()
+print("DONE", flush=True)

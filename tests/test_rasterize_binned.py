@@ -1,0 +1,224 @@
+"""Binned-pipeline rasterizer (Pallas emit + payload sort + kernels) vs oracle.
+
+Values and VJPs, with and without tight culling, plus the binning engine's
+intersection bookkeeping vs ops/isect.py. Runs in interpret mode on the CPU
+mesh; scripts/check_tiled_tpu.py covers real hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.ops.binning import bin_gaussians
+from gsplat_tpu.ops.isect import isect_tiles
+from gsplat_tpu.ops.projection import fully_fused_projection
+from gsplat_tpu.ops.rasterize_ref import rasterize_to_pixels_ref
+from gsplat_tpu.ops.rasterize_binned import rasterize_to_pixels_binned
+
+
+def _scene(rng, N=250, C=2, W=64, H=48, D=3):
+    means = rng.standard_normal((N, 3)).astype(np.float32)
+    quats = rng.standard_normal((N, 4)).astype(np.float32)
+    scales = (rng.random((N, 3)) * 0.3 + 0.05).astype(np.float32)
+    opac = rng.random((N,)).astype(np.float32)
+    colors = rng.random((C, N, D)).astype(np.float32)
+    viewmats = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    viewmats[:, 2, 3] = 4.0
+    if C > 1:
+        viewmats[1, 0, 3] = 0.3
+    Ks = np.tile(
+        np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32),
+        (C, 1, 1),
+    )
+    radii, means2d, depths, conics, _ = fully_fused_projection(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(viewmats), jnp.asarray(Ks), W, H,
+    )
+    opc = jnp.broadcast_to(jnp.asarray(opac)[None], (C, N))
+    return radii, means2d, depths, conics, jnp.asarray(colors), opc
+
+
+def test_binning_matches_isect_tiles(rng):
+    """Same (tile, count) structure and per-tile gid sets as ops/isect.py."""
+    C, W, H, ts = 2, 64, 48, 16
+    radii, means2d, depths, conics, colors, opac = _scene(rng, C=C, W=W, H=H)
+    tw, th = -(-W // ts), -(-H // ts)
+    ref = isect_tiles(means2d, radii, depths, ts, tw, th, capacity=8192)
+
+    binned = bin_gaussians(
+        means2d[..., 0], means2d[..., 1],
+        conics[..., 0], conics[..., 1], conics[..., 2],
+        opac, colors, radii, depths, ts, tw, th,
+        capacity=8192, cull=False,
+    )
+    assert int(binned.n_isects) == int(ref.n_isects)
+    counts_ref = np.asarray(ref.ends - ref.offsets).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(binned.cnts), counts_ref)
+    # per-tile entry sets: same gids in the same depth order
+    gids = np.asarray(binned.gids)[0]
+    fids = np.asarray(ref.flatten_ids)
+    offs_b, offs_r = np.asarray(binned.offs), np.asarray(ref.offsets).reshape(-1)
+    for t in range(counts_ref.shape[0]):
+        n = counts_ref[t]
+        if n:
+            np.testing.assert_array_equal(
+                gids[offs_b[t]:offs_b[t] + n], fids[offs_r[t]:offs_r[t] + n]
+            )
+    # the sorted feature stream matches a gather by gid
+    ent = np.asarray(binned.entries)
+    mx = np.asarray(means2d[..., 0]).reshape(-1)
+    n_total = int(binned.n_isects)
+    np.testing.assert_allclose(ent[0, :n_total], mx[gids[:n_total]], rtol=0)
+
+
+def test_binning_truncation_feedback(rng):
+    """Too-small capacity truncates whole blocks but reports slab_required."""
+    C, W, H, ts = 1, 64, 48, 16
+    radii, means2d, depths, conics, colors, opac = _scene(rng, C=C, W=W, H=H)
+    tw, th = -(-W // ts), -(-H // ts)
+    full = bin_gaussians(
+        means2d[..., 0], means2d[..., 1],
+        conics[..., 0], conics[..., 1], conics[..., 2],
+        opac, colors, radii, depths, ts, tw, th, capacity=65536, cull=False,
+    )
+    need = int(full.slab_required)
+    assert need >= int(full.n_isects)
+    small = bin_gaussians(
+        means2d[..., 0], means2d[..., 1],
+        conics[..., 0], conics[..., 1], conics[..., 2],
+        opac, colors, radii, depths, ts, tw, th,
+        capacity=max(512, need // 2), cull=False,
+    )
+    assert int(small.slab_required) == need
+    assert int(small.n_isects) < int(full.n_isects)
+
+
+@pytest.mark.parametrize("cull", [False, True])
+@pytest.mark.parametrize("use_bg", [False, True])
+def test_binned_matches_oracle(rng, cull, use_bg):
+    C, W, H, ts, D = 2, 64, 48, 16, 3
+    radii, means2d, depths, conics, colors, opac = _scene(rng, C=C, W=W, H=H, D=D)
+    bg = jnp.asarray(rng.random((C, D)).astype(np.float32)) if use_bg else None
+
+    r0, a0 = rasterize_to_pixels_ref(
+        means2d, conics, colors, opac, radii, depths, W, H, ts, bg
+    )
+    r1, a1, aux = rasterize_to_pixels_binned(
+        means2d, conics, colors, opac, radii, depths, W, H, ts,
+        capacity=8192, backgrounds=bg, cull=cull,
+    )
+    assert int(aux["n_isects"]) > 0
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=1e-5, atol=1e-5)
+    if cull:
+        # tight culling must strictly shrink the list on this scene
+        _, _, aux0 = rasterize_to_pixels_binned(
+            means2d, conics, colors, opac, radii, depths, W, H, ts,
+            capacity=8192, backgrounds=bg, cull=False,
+        )
+        assert int(aux["n_isects"]) < int(aux0["n_isects"])
+
+
+@pytest.mark.parametrize("cull", [False, True])
+def test_binned_vjp_matches_oracle(rng, cull):
+    C, W, H, ts, D = 1, 48, 32, 16, 3
+    radii, means2d, depths, conics, colors, opac = _scene(
+        rng, N=150, C=C, W=W, H=H, D=D
+    )
+    bg = jnp.asarray(rng.random((C, D)).astype(np.float32))
+    wr = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+    wa = jnp.asarray(rng.standard_normal((C, H, W, 1)).astype(np.float32))
+
+    def loss_ref(m2d, con, col, op):
+        r, a = rasterize_to_pixels_ref(
+            m2d, con, col, op, radii, depths, W, H, ts, bg
+        )
+        return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+    def loss_bin(m2d, con, col, op):
+        r, a, _ = rasterize_to_pixels_binned(
+            m2d, con, col, op, radii, depths, W, H, ts,
+            capacity=8192, backgrounds=bg, cull=cull,
+        )
+        return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+    g0 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(means2d, conics, colors, opac)
+    g1 = jax.grad(loss_bin, argnums=(0, 1, 2, 3))(means2d, conics, colors, opac)
+    for a, b, name in zip(g0, g1, ("means2d", "conics", "colors", "opac")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
+def test_binned_absgrad_matches_oracle(rng):
+    from gsplat_tpu.ops.rasterize_ref import rasterize_to_pixels_ref_absgrad
+
+    C, W, H, ts, D = 1, 48, 32, 16, 3
+    radii, means2d, depths, conics, colors, opac = _scene(
+        rng, N=120, C=C, W=W, H=H, D=D
+    )
+    bg = jnp.zeros((C, D), jnp.float32)
+    wr = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+    wa = jnp.asarray(rng.standard_normal((C, H, W, 1)).astype(np.float32))
+    zc = jnp.zeros_like(means2d)
+
+    def loss_oracle(carrier):
+        r, a = rasterize_to_pixels_ref_absgrad(
+            means2d, conics, colors, opac, radii, depths, W, H, ts, bg, carrier
+        )
+        return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+    def loss_bin(carrier):
+        r, a, _ = rasterize_to_pixels_binned(
+            means2d, conics, colors, opac, radii, depths, W, H, ts,
+            capacity=8192, backgrounds=bg,
+            abs_carrier=(carrier[..., 0], carrier[..., 1]),
+        )
+        return jnp.sum(r * wr) + jnp.sum(a * wa)
+
+    g0 = jax.grad(loss_oracle)(zc)
+    g1 = jax.grad(loss_bin)(zc)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_rasterization_binned_backend(rng):
+    """Public API: backend='binned' matches backend='oracle' incl. depth
+    modes and the capacity meta."""
+    from gsplat_tpu.rendering import rasterization
+
+    N, C, W, H = 150, 2, 48, 32
+    means = rng.standard_normal((N, 3)).astype(np.float32)
+    quats = rng.standard_normal((N, 4)).astype(np.float32)
+    scales = (rng.random((N, 3)) * 0.25 + 0.05).astype(np.float32)
+    opac = rng.random((N,)).astype(np.float32)
+    colors = rng.random((N, 3)).astype(np.float32)
+    vm = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    vm[:, 2, 3] = 4.0
+    vm[1, 0, 3] = 0.3
+    Ks = np.tile(
+        np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32),
+        (C, 1, 1),
+    )
+    args = tuple(
+        jnp.asarray(x) for x in (means, quats, scales, opac, colors, vm, Ks)
+    )
+    for mode in ("RGB", "RGB+ED"):
+        r0, a0, m0 = rasterization(
+            *args, W, H, render_mode=mode, backend="oracle", tile_size=16
+        )
+        r1, a1, m1 = rasterization(
+            *args, W, H, render_mode=mode, backend="binned", tile_size=16,
+            isect_capacity=8192,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r0), rtol=1e-4, atol=1e-4, err_msg=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(a0), rtol=1e-5, atol=1e-5
+        )
+    assert int(m1["n_isects"]) > 0
+    assert int(m1["slab_required"]) >= int(m1["n_isects"])

@@ -85,6 +85,11 @@ class Config:
     antialiased: bool = False
     random_bkgd: bool = False
     white_bkgd: bool = False  # composite over white (synthetic datasets)
+    # LPIPS eval (reference simple_trainer.py:429-442): path to weights
+    # (.npz canonical or torch state dict); metric is skipped when empty
+    # or missing (no pretrained weights ship offline)
+    lpips_weights: str = ""
+    lpips_net: str = "alex"  # or "vgg"
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
     means_lr: float = 1.6e-4
@@ -481,11 +486,12 @@ class Runner:
                 if bkgd is not None:
                     render = render + bkgd * (1.0 - alphas)
                 loss = train_loss(render, pixels, cfg.ssim_lambda)
-                # radii unavailable per-gaussian post-exchange; visibility
-                # falls back to all-live
+                # true per-Gaussian visibility from the owner shards
+                # (pre-exchange radii), so SelectiveAdam masking and
+                # DefaultStrategy stats match single-host behavior
                 aux = {
-                    "radii": jnp.where(live[None, :], 1, 0).astype(jnp.int32),
-                    "n_isects": jnp.int32(0),
+                    "radii": meta["radii"],
+                    "n_isects": jnp.max(meta["n_isects"]),
                 }
                 return loss, aux
 
@@ -791,7 +797,16 @@ class Runner:
         )
 
     def eval(self, step: int):
-        psnrs, ssims = [], []
+        psnrs, ssims, lpipss = [], [], []
+        lpips_params = getattr(self, "_lpips_params", None)
+        if lpips_params is None and self.cfg.lpips_weights:
+            from gsplat_tpu.lpips import load_lpips_params
+
+            self._lpips_params = lpips_params = load_lpips_params(
+                self.cfg.lpips_weights, self.cfg.lpips_net
+            )
+            if lpips_params is None:
+                print(f"[eval] LPIPS weights not found: {self.cfg.lpips_weights}")
         t0 = time.time()
         for i in range(len(self.valset)):
             data = self.valset[i]
@@ -807,6 +822,16 @@ class Runner:
             render = jnp.clip(render, 0.0, 1.0)
             psnrs.append(float(psnr_fn(render, pixels)))
             ssims.append(float(ssim_fn(render, pixels)))
+            if lpips_params is not None:
+                from gsplat_tpu.lpips import lpips as lpips_fn
+
+                # alex uses normalize=True ([0,1] inputs); vgg matches the
+                # 3DGS-official convention (reference trainer :432-441)
+                lpipss.append(float(lpips_fn(
+                    lpips_params, render, pixels,
+                    net_type=self.cfg.lpips_net,
+                    normalize=self.cfg.lpips_net == "alex",
+                )))
         dt = (time.time() - t0) / max(len(self.valset), 1)
         stats = {
             "step": step,
@@ -815,6 +840,8 @@ class Runner:
             "num_GS": int(jnp.sum(self.live)),
             "per_image_s": dt,
         }
+        if lpipss:
+            stats["lpips"] = float(np.mean(lpipss))
         print("EVAL", json.dumps(stats))
         with open(os.path.join(self.cfg.result_dir, f"val_step{step}.json"), "w") as f:
             json.dump(stats, f)

@@ -102,7 +102,11 @@ def rasterization_distributed(
         P(),  # viewmats
         P(),  # Ks
     ) + extra_specs
-    out_specs = (P(axis), P(axis))
+    # render/alphas camera-sharded; radii stay owner-side (N-sharded) so the
+    # caller gets true per-Gaussian visibility for SelectiveAdam and
+    # densification stats (the reference's info["radii"],
+    # gsplat/rendering.py:353-365); n_isects is per-shard.
+    out_specs = (P(axis), P(axis), P(None, axis), P(axis))
 
     def a2a(x):
         # [C, N_local, ...] -> [C / n, N_local * n, ...]: camera-split,
@@ -176,6 +180,7 @@ def rasterization_distributed(
                 (mean_x, mean_y), (con_a, con_b, con_c), cols_g, opac_g,
                 width, height, tile_size, isect, backgrounds=bg,
             )
+            n_isects = isect.n_isects[None]
         else:
             means2d = jnp.stack([mean_x, mean_y], axis=-1)
             conics = jnp.stack([con_a, con_b, con_c], axis=-1)
@@ -183,7 +188,8 @@ def rasterization_distributed(
                 means2d, conics, cols_g, opac_g, radii_g, depth,
                 width, height, tile_size, bg,
             )
-        return render, alphas
+            n_isects = jnp.zeros((1,), jnp.int32)
+        return render, alphas, jax.lax.stop_gradient(radii), n_isects
 
     fn = shard_map(_render, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     args = (means, quats, scales, opacities, colors, viewmats, Ks)
@@ -191,6 +197,15 @@ def rasterization_distributed(
         args = args + (masks,)
     if means2d_carrier is not None:
         args = args + (means2d_carrier,)
-    render, alphas = fn(*args)
-    meta = {"width": width, "height": height, "n_cameras": C}
+    render, alphas, radii, n_isects = fn(*args)
+    meta = {
+        "width": width,
+        "height": height,
+        "n_cameras": C,
+        # true per-Gaussian visibility, computed owner-side pre-exchange
+        # ([C, N] with N sharded over `axis`)
+        "radii": radii,
+        # per-shard intersection counts [n_shards]
+        "n_isects": n_isects,
+    }
     return render, alphas, meta

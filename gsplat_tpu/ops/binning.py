@@ -74,13 +74,13 @@ class Binned(NamedTuple):
 def _emit_kernel(
     soff_ref,  # [NB] i32 scalar prefetch: slab offsets (SB-aligned)
     scnt_ref,  # [NB] i32 scalar prefetch: true entry counts per block
-    attr_hbm,  # [A, CN_pad] f32 in HBM (block b = columns [b*GB, (b+1)*GB))
-    keys_hbm,  # [3, capA] f32 out: tile_key, depth, gid
-    feat_hbm,  # [NF, capA] f32 out: per-entry features
-    abuf,  # [A, GB] VMEM scratch
+    attr_hbm,  # [A_pad, CN_pad] f32 in HBM (block b = cols [b*GB, (b+1)*GB))
+    keys_hbm,  # [8, capA] f32 out: tile_key, depth, gid, zeros
+    feat_hbm,  # [NF_pad, capA] f32 out: per-entry features
+    abuf,  # [A_pad, GB] VMEM scratch
     asem,
-    kbuf,  # [3, SB] VMEM scratch
-    fbuf,  # [NF, SB] VMEM scratch
+    kbuf,  # [8, SB] VMEM scratch
+    fbuf,  # [NF_pad, SB] VMEM scratch
     wsem,  # DMA sems (2,)
     *,
     A: int,
@@ -100,7 +100,7 @@ def _emit_kernel(
     cp = pltpu.make_async_copy(attr_hbm.at[:, pl.ds(b * GB, GB)], abuf, asem)
     cp.start()
     cp.wait()
-    attrs = abuf[...]  # [A, GB]
+    attrs = abuf[...]  # [A_pad, GB]
     prefix = attrs[3:4, :]  # [1, GB] exclusive within-block entry prefix
 
     git = jax.lax.broadcasted_iota(jnp.int32, (GB, SB), 0)
@@ -172,10 +172,22 @@ def _emit_kernel(
             keep = op * jnp.exp(-minq) >= ALPHA_CULL
             valid = valid & keep
 
-        kbuf[0:1] = jnp.where(valid, tile_key, sentinel_key).astype(jnp.float32)
-        kbuf[1:2] = sel[4:5]  # depth (f32 value, exact)
-        kbuf[2:3] = jnp.where(valid, src_global, -1).astype(jnp.float32)
-        fbuf[...] = sel[A - NF :, :]
+        kbuf[...] = jnp.concatenate(
+            [
+                jnp.where(valid, tile_key, sentinel_key).astype(jnp.float32),
+                sel[4:5],  # depth (f32 value, exact)
+                jnp.where(valid, src_global, -1).astype(jnp.float32),
+                jnp.zeros((5, SB), jnp.float32),
+            ],
+            axis=0,
+        )
+        nf_pad = fbuf.shape[0]
+        fb = sel[5 : 5 + NF, :]
+        if nf_pad > NF:
+            fb = jnp.concatenate(
+                [fb, jnp.zeros((nf_pad - NF, SB), jnp.float32)], axis=0
+            )
+        fbuf[...] = fb
 
         start = pl.multiple_of(soff + c * SB, LANES)
         wk = pltpu.make_async_copy(
@@ -266,6 +278,10 @@ def bin_gaussians(
         pad(opacities),
     ] + [pad(colors[..., d]) for d in range(D)]
     A = len(attr_rows)  # 5 + NF
+    # HBM slices must be 8-sublane aligned on the row dim: pad row counts.
+    A_pad = _round_up(A, 8)
+    NF_pad = _round_up(NF, 8)
+    attr_rows += [jnp.zeros((CN_pad,), jnp.float32)] * (A_pad - A)
     attr = jnp.stack(attr_rows, axis=0).astype(jnp.float32)
 
     sentinel_key = T
@@ -279,10 +295,10 @@ def bin_gaussians(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((A, GB), jnp.float32),
+            pltpu.VMEM((A_pad, GB), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((3, SB), jnp.float32),
-            pltpu.VMEM((NF, SB), jnp.float32),
+            pltpu.VMEM((8, SB), jnp.float32),
+            pltpu.VMEM((NF_pad, SB), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -295,8 +311,8 @@ def bin_gaussians(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((3, capA), jnp.float32),
-            jax.ShapeDtypeStruct((NF, capA), jnp.float32),
+            jax.ShapeDtypeStruct((8, capA), jnp.float32),
+            jax.ShapeDtypeStruct((NF_pad, capA), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

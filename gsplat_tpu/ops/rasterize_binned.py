@@ -170,8 +170,7 @@ def _bwd_kernel(
     offs_ref,  # [T] i32
     cnts_ref,  # [T] i32
     aoff_ref,  # [T] i32: aligned write base per tile
-    entries_hbm,  # [F, capA] f32
-    gids_hbm,  # [1, capA] i32
+    entries_hbm,  # [F, capA] f32 (row F-1 = gid as exact f32)
     logT_ref,  # [1, 1, P]
     last_ref,  # [1, 1, P] i32
     vaccum_ref,  # [1, Dp, P]
@@ -180,8 +179,6 @@ def _bwd_kernel(
     vgr_hbm,  # [GR, capA2] f32 out: row 0 = gid (as f32), 1.. = grads
     ebuf,  # [2, F, K]
     esem,
-    gbuf,  # [2, 1, K] i32
-    gsem,
     wbuf,  # [2, GR, K]
     wsem,
     *,
@@ -231,7 +228,6 @@ def _bwd_kernel(
     @pl.when(nb_eff > 0)
     def _():
         _ecopy(entries_hbm, ebuf, esem, astart + start_b * K, start_b % 2, K).start()
-        _ecopy(gids_hbm, gbuf, gsem, astart + start_b * K, start_b % 2, K).start()
 
     def body(i, carry):
         logS, ssum = carry
@@ -241,12 +237,10 @@ def _bwd_kernel(
         @pl.when(b - 1 >= 0)
         def _():
             _ecopy(entries_hbm, ebuf, esem, astart + (b - 1) * K, 1 - slot, K).start()
-            _ecopy(gids_hbm, gbuf, gsem, astart + (b - 1) * K, 1 - slot, K).start()
 
         _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
-        _ecopy(gids_hbm, gbuf, gsem, astart + b * K, slot, K).wait()
         e = ebuf[slot]
-        gid = gbuf[slot]  # [1, K] i32
+        gid = e[-1:, :].astype(jnp.int32)  # [1, K] exact (< 2^24)
 
         gx, gy = e[0:1, :], e[1:2, :]
         ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
@@ -342,16 +336,12 @@ RCHUNK = 1024  # output gid chunk
 
 def _reduce_kernel(
     bounds_ref,  # [M/RCHUNK + 1] i32: searchsorted chunk boundaries
-    gid_hbm,  # [1, capA2] i32 sorted
-    vg_hbm,  # [GRm1, capA2] f32 sorted payload rows (no gid row)
-    out_ref,  # [GRm1, RCHUNK] out block
-    gbuf,  # [2, 1, RK] i32
-    gsem,
-    vbuf,  # [2, GRm1, RK]
+    vg_hbm,  # [GR, capA2] f32 sorted by gid; row 0 = gid as exact f32
+    out_ref,  # [GR, RCHUNK] out block (row 0 = garbage gid sums)
+    vbuf,  # [2, GR, RK]
     vsem,
     *,
-    GRm1: int,
-    native: bool,
+    GR: int,
 ):
     j = pl.program_id(0)
     lo = bounds_ref[j]
@@ -360,12 +350,14 @@ def _reduce_kernel(
     nb = pl.cdiv(hi - alo, RK)
     base = j * RCHUNK
 
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, RK), 1)
-    cit = jax.lax.broadcasted_iota(jnp.int32, (RK, RCHUNK), 1)
+    # tpu.iota is integer-only; build the f32 column grid by casting
+    cit = jax.lax.broadcasted_iota(jnp.int32, (RK, RCHUNK), 1).astype(
+        jnp.float32
+    )
+    sit = jax.lax.broadcasted_iota(jnp.int32, (RK, 1), 0)
 
     @pl.when(nb > 0)
     def _():
-        _ecopy(gid_hbm, gbuf, gsem, alo, 0, RK).start()
         _ecopy(vg_hbm, vbuf, vsem, alo, 0, RK).start()
 
     def body(b, acc):
@@ -373,20 +365,19 @@ def _reduce_kernel(
 
         @pl.when(b + 1 < nb)
         def _():
-            _ecopy(gid_hbm, gbuf, gsem, alo + (b + 1) * RK, 1 - slot, RK).start()
             _ecopy(vg_hbm, vbuf, vsem, alo + (b + 1) * RK, 1 - slot, RK).start()
 
-        _ecopy(gid_hbm, gbuf, gsem, alo + b * RK, slot, RK).wait()
         _ecopy(vg_hbm, vbuf, vsem, alo + b * RK, slot, RK).wait()
-        gid = gbuf[slot]  # [1, RK]
-        vg = vbuf[slot]  # [GRm1, RK]
+        vg = vbuf[slot]  # [GR, RK]
 
-        pos = alo + b * RK + kidx
+        # [RK, 1] orientation built without bool transposes (unsupported):
+        # gid row is exact f32, so transpose it as f32; positions come from
+        # a sublane iota directly.
+        gidT = jnp.transpose(vg[0:1, :], (1, 0))  # [RK, 1] f32
+        pos = alo + b * RK + sit  # [RK, 1] i32
         inrange = (pos >= lo) & (pos < hi)
-        col = gid - base  # [1, RK]
         onehot = (
-            (jnp.transpose(col, (1, 0)) == cit)
-            & jnp.transpose(inrange, (1, 0))
+            ((gidT - jnp.float32(base)) == cit) & inrange
         ).astype(jnp.float32)  # [RK, RCHUNK]
         acc = acc + jax.lax.dot_general(
             vg, onehot, (((1,), (0,)), ((), ())),
@@ -398,14 +389,13 @@ def _reduce_kernel(
     # every started copy is waited inside body (prefetch for b+1 is waited
     # by iteration b+1, which always runs when the prefetch was issued)
     acc = jax.lax.fori_loop(
-        0, nb, body, jnp.zeros((GRm1, RCHUNK), jnp.float32)
+        0, nb, body, jnp.zeros((GR, RCHUNK), jnp.float32)
     )
     out_ref[...] = acc
 
 
-def _reduce_call(gid_sorted, vg_sorted, M: int, GRm1: int, interpret: bool):
-    """[GRm1, capA2] sorted-by-gid grads -> [GRm1, M_pad] per-gid sums."""
-    capA2 = gid_sorted.shape[-1]
+def _reduce_call(gid_sorted, vg_sorted, M: int, GR: int, interpret: bool):
+    """[GR, capA2] sorted-by-gid rows (row 0 = gid) -> [GR, M_pad] sums."""
     M_pad = _round_up(M, RCHUNK)
     nchunks = M_pad // RCHUNK
     bounds = jnp.searchsorted(
@@ -417,28 +407,23 @@ def _reduce_call(gid_sorted, vg_sorted, M: int, GRm1: int, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nchunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((GRm1, RCHUNK), lambda j, *_: (0, j)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((GR, RCHUNK), lambda j, *_: (0, j)),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, RK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, GRm1, RK), jnp.float32),
+            pltpu.VMEM((2, GR, RK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_reduce_kernel, GRm1=GRm1, native=not interpret)
+    kernel = functools.partial(_reduce_kernel, GR=GR)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GRm1, M_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GR, M_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(bounds, gid_sorted.reshape(1, capA2), vg_sorted)
+    )(bounds, vg_sorted)
     return out[:, :M]
 
 
@@ -481,14 +466,13 @@ def _fwd_call(cfg, entries, offs, cnts):
     )(offs, cnts, entries)
 
 
-def _bwd_call(cfg, entries, gids, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT):
+def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT):
     (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # entries
-            pl.BlockSpec(memory_space=pltpu.ANY),  # gids
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),  # logT
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),  # last
             pl.BlockSpec((1, Dp, P), lambda t, *_: (t, 0, 0)),  # v_accum
@@ -498,8 +482,6 @@ def _bwd_call(cfg, entries, gids, offs, cnts, aoff, capA2, logT, last, v_accum, 
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, F, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, 1, K), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, GR, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -522,13 +504,13 @@ def _bwd_call(cfg, entries, gids, offs, cnts, aoff, capA2, logT, last, v_accum, 
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((GR, capA2), jnp.float32)],
-        # operand index counts the 3 scalar-prefetch args: vzero is input 9
-        input_output_aliases={9: 0},
+        # operand index counts the 3 scalar-prefetch args: vzero is input 8
+        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(offs, cnts, aoff, entries, gids, logT, last, v_accum, v_logT, vzero)[0]
+    )(offs, cnts, aoff, entries, logT, last, v_accum, v_logT, vzero)[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -551,34 +533,46 @@ def _raster_binned_fwd(cfg, packed, absc, radii, depths):
     (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
     binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
     NF = binned.entries.shape[0]
-    entries = jnp.pad(binned.entries, ((0, F - NF), (0, 0)))
+    # row F-1 carries the entry's gid as an exact f32 (< 2^24) for the
+    # backward; the forward kernel never reads past row 6+Dp.
+    entries = jnp.concatenate(
+        [
+            binned.entries,
+            jnp.zeros((F - NF - 1, binned.entries.shape[1]), jnp.float32),
+            binned.gids.astype(jnp.float32),
+        ],
+        axis=0,
+    )
     accum, logT, last = _fwd_call(cfg, entries, binned.offs, binned.cnts)
-    res = (entries, binned.gids, binned.offs, binned.cnts, logT, last)
+    res = (entries, binned.offs, binned.cnts, logT, last)
     return (accum, logT, binned.n_isects, binned.slab_required), res
 
 
 def _raster_binned_bwd(cfg, res, cts):
     (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
-    entries, gids, offs, cnts, logT, last = res
+    entries, offs, cnts, logT, last = res
     v_accum, v_logT, _, _ = cts
     acnt = ((cnts + K - 1) // K + 1) * K  # +K: astart may precede offs
     aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
     capA2 = _round_up(capA + 2 * K * T, LANES)
     vgr = _bwd_call(
-        cfg, entries, gids, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT
+        cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT
     )
-    gid_f = vgr[0]
-    ops = (gid_f.astype(jnp.int32),) + tuple(vgr[1 : GR])
+    ops = (vgr[0].astype(jnp.int32),) + tuple(vgr[1:GR])
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    gid_s = sorted_ops[0]
-    vg_s = jnp.stack(sorted_ops[1:], axis=0)
-    red = _reduce_call(gid_s, vg_s, M=C * N, GRm1=GR - 1, interpret=interpret)
-    # red rows: v_gx, v_gy, v_ca, v_cb, v_cc, v_op, v_col[D], (abs x2)
+    vg_s = jnp.stack(
+        (sorted_ops[0].astype(jnp.float32),) + sorted_ops[1:], axis=0
+    )  # [GR, capA2], row 0 = gid
+    red = _reduce_call(
+        sorted_ops[0], vg_s, M=C * N, GR=GR, interpret=interpret
+    )
+    # red rows: gid-garbage, v_gx, v_gy, v_ca, v_cb, v_cc, v_op, v_col[D],
+    # (abs x2)
     v_packed = jnp.concatenate(
-        [red[: 6 + D], jnp.zeros((F - 6 - D, C * N), jnp.float32)], axis=0
+        [red[1 : 7 + D], jnp.zeros((F - 6 - D, C * N), jnp.float32)], axis=0
     )
     if absgrad:
-        v_absc = red[6 + D : 8 + D]
+        v_absc = red[7 + D : 9 + D]
     else:
         v_absc = jnp.zeros((2, C * N), jnp.float32)
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)

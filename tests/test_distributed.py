@@ -52,11 +52,11 @@ def test_distributed_matches_single_device(rng, mesh):
     vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
     bg = jnp.asarray(rng.random((viewmats.shape[0], 3)).astype(np.float32))
 
-    r0, a0, _ = rasterization(*args, vm, K, W, H, backgrounds=bg)
+    r0, a0, m0 = rasterization(*args, vm, K, W, H, backgrounds=bg)
 
     shardings = [NamedSharding(mesh, P("gauss"))] * 5
     sharded = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
-    r1, a1, _ = jax.jit(
+    r1, a1, m1 = jax.jit(
         lambda *a: rasterization_distributed(
             *a, vm, K, W, H, mesh=mesh, backgrounds=bg
         )
@@ -64,6 +64,12 @@ def test_distributed_matches_single_device(rng, mesh):
 
     np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5)
+    # per-Gaussian visibility comes back from the owner shards and matches
+    # the single-device radii exactly (SelectiveAdam / strategy stats
+    # depend on it)
+    np.testing.assert_array_equal(
+        np.asarray(m1["radii"]), np.asarray(m0["radii"])
+    )
 
 
 def test_distributed_gradients_match(rng, mesh):

@@ -1,0 +1,63 @@
+"""LPIPS architecture tests (random weights — no pretrained weights offline).
+
+Validates shape/flow, metric invariants, jit-ability, and the torch
+state-dict converter for both net types (reference: torchmetrics LPIPS in
+examples/simple_trainer.py:429-442).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.lpips import (
+    convert_torch_state_dict,
+    init_random_params,
+    lpips,
+)
+
+
+@pytest.mark.parametrize("net_type", ["alex", "vgg"])
+def test_lpips_invariants(rng, net_type):
+    params = init_random_params(net_type)
+    H = 64 if net_type == "vgg" else 96  # alex needs >= ~64 after stride 4
+    x = jnp.asarray(rng.random((2, H, H, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random((2, H, H, 3)).astype(np.float32))
+
+    d_xx = float(lpips(params, x, x, net_type=net_type))
+    d_xy = float(lpips(params, x, y, net_type=net_type))
+    d_yx = float(lpips(params, y, x, net_type=net_type))
+    assert abs(d_xx) < 1e-6
+    assert d_xy > 0
+    np.testing.assert_allclose(d_xy, d_yx, rtol=1e-5)
+
+    jd = float(jax.jit(
+        lambda a, b: lpips(params, a, b, net_type=net_type)
+    )(x, y))
+    np.testing.assert_allclose(jd, d_xy, rtol=1e-5)
+
+
+def test_lpips_torch_state_dict_conversion(rng):
+    torch = pytest.importorskip("torch")
+    params = init_random_params("alex", seed=1)
+    sd = {}
+    feat_idx = [0, 3, 6, 8, 10]  # torchvision alexnet.features conv indices
+    for i, (w, b) in enumerate(params["convs"]):
+        sd[f"net.features.{feat_idx[i]}.weight"] = torch.tensor(np.asarray(w))
+        sd[f"net.features.{feat_idx[i]}.bias"] = torch.tensor(np.asarray(b))
+    for i, w in enumerate(params["lins"]):
+        sd[f"lin{i}.model.1.weight"] = torch.tensor(np.asarray(w))
+    sd = {k: v.numpy() for k, v in sd.items()}
+    got = convert_torch_state_dict(sd, "alex")
+    for (w0, b0), (w1, b1) in zip(params["convs"], got["convs"]):
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    for w0, w1 in zip(params["lins"], got["lins"]):
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+    x = jnp.asarray(rng.random((1, 96, 96, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random((1, 96, 96, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        float(lpips(params, x, y)), float(lpips(got, x, y)), rtol=1e-6
+    )

@@ -441,6 +441,53 @@ class Runner:
 
     # --- the jitted step ---------------------------------------------------
 
+    def _raster_train(
+        self, params, colors, sh_deg_arg, viewmats, Ks, width, height,
+        carrier, live, backend, isect_capacity, render_mode,
+    ):
+        """Render hook used inside the jitted training step.
+
+        Returns (rgb, alphas, depths_map_or_None, meta, geom) where `geom`
+        carries model-family-specific outputs consumed by `_geom_losses`.
+        Overridden by the 2DGS runner."""
+        cfg = self.cfg
+        render, alphas, meta = rasterization(
+            params["means"],
+            params["quats"],
+            jnp.exp(params["scales"]),
+            jax.nn.sigmoid(params["opacities"]),
+            colors,
+            viewmats,
+            Ks,
+            width,
+            height,
+            sh_degree=sh_deg_arg,
+            near_plane=cfg.near_plane,
+            far_plane=cfg.far_plane,
+            rasterize_mode="antialiased" if cfg.antialiased else "classic",
+            render_mode=render_mode,
+            backend=backend,
+            isect_capacity=isect_capacity,
+            means2d_carrier=carrier,
+            masks=live,
+            tile_size=cfg.tile_size,
+            absgrad=cfg.absgrad,
+        )
+        depths_map = None
+        if cfg.depth_loss:
+            depths_map = render[..., -1:]
+            render = render[..., :-1]
+        return render, alphas, depths_map, meta, {}
+
+    def _geom_losses(self, loss, geom, alphas):
+        """Extra geometry loss terms (2DGS normal/distortion); no-op here."""
+        return loss
+
+    def _step_extra_key(self):
+        """Extra static state baked into the jitted step (e.g. 2DGS loss
+        warmup flags); part of the step-recompile cache key."""
+        return ()
+
     def _make_step(self, width: int, height: int, sh_degree: int):
         cfg = self.cfg
         backend = "tiled" if self._on_tpu else "oracle"
@@ -495,6 +542,8 @@ class Runner:
                 }
                 return loss, aux
 
+            # hook points for the 2DGS runner (which inherits the full loop
+            # incl. pose/appearance/bilagrid/depth/batching/resume)
             def loss_fn(params, aux_params, carrier):
                 c2w = camtoworlds
                 if "pose" in aux_params:
@@ -517,36 +566,16 @@ class Runner:
                     )
                     sh_deg_arg = sh_degree
 
-                render, alphas, meta = rasterization(
-                    params["means"],
-                    params["quats"],
-                    jnp.exp(params["scales"]),
-                    jax.nn.sigmoid(params["opacities"]),
-                    colors,
-                    viewmats,
-                    Ks,
-                    width,
-                    height,
-                    sh_degree=sh_deg_arg,
-                    near_plane=cfg.near_plane,
-                    far_plane=cfg.far_plane,
-                    rasterize_mode="antialiased" if cfg.antialiased else "classic",
-                    render_mode=render_mode,
-                    backend=backend,
-                    isect_capacity=isect_capacity,
-                    means2d_carrier=carrier,
-                    masks=live,
-                    tile_size=cfg.tile_size,
-                    absgrad=cfg.absgrad,
+                render, alphas, depths_map, meta, geom = self._raster_train(
+                    params, colors, sh_deg_arg, viewmats, Ks, width, height,
+                    carrier, live, backend, isect_capacity, render_mode,
                 )
-                if cfg.depth_loss:
-                    depths_map = render[..., -1:]
-                    render = render[..., :-1]
                 if "bilagrid" in aux_params:
                     render = slice_grid(aux_params["bilagrid"], image_ids, render)
                 if bkgd is not None:
                     render = render + bkgd * (1.0 - alphas)
                 loss = train_loss(render, pixels, cfg.ssim_lambda)
+                loss = self._geom_losses(loss, geom, alphas)
                 if cfg.depth_loss:
                     # disparity L1 at SfM projections
                     # (reference simple_trainer.py:647-668)
@@ -657,9 +686,11 @@ class Runner:
             H, W = pixels.shape[1:3]
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
 
-            if self._step_fn is None or step_img_shape != (W, H, sh_degree):
+            self._cur_step = step
+            step_key = (W, H, sh_degree) + self._step_extra_key()
+            if self._step_fn is None or step_img_shape != step_key:
                 self._step_fn = self._make_step(W, H, sh_degree)
-                step_img_shape = (W, H, sh_degree)
+                step_img_shape = step_key
 
             # fold_in(step): the key stream is a pure function of (seed,
             # step) so checkpoint resume reproduces the exact trajectory

@@ -1,10 +1,11 @@
 """2DGS (surfel) trainer with normal-consistency and distortion losses.
 
 Parity target: /root/reference/examples/simple_trainer_2dgs.py (config
-:40-170, losses :611-632). Reuses the 3DGS trainer's padded-pool machinery;
-the 2DGS-specific parts are the surfel rasterizer
-(gsplat_tpu.rendering.rasterization_2dgs) and the two geometry losses with
-their warmup schedules.
+:40-170, train step :414-632). Inherits the FULL 3DGS training loop —
+camera-pose optimization, appearance embeddings, bilateral grids, depth
+loss, camera batching, mid-train checkpoint resume, eval — and overrides
+only the render hook (surfel rasterizer) and the two geometry losses with
+their warmup schedules (reference :611-632).
 
 Usage:
     python examples/simple_trainer_2dgs.py --data-dir data/garden --data-factor 4
@@ -12,11 +13,8 @@ Usage:
 
 from __future__ import annotations
 
-import argparse
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,11 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from gsplat_tpu.rendering import rasterization_2dgs
-from gsplat_tpu.losses import psnr as psnr_fn, ssim as ssim_fn, train_loss
-from gsplat_tpu.optimizers import SelectiveAdam
-from gsplat_tpu.strategy import DefaultStrategy
+from gsplat_tpu.losses import psnr as psnr_fn, ssim as ssim_fn
 
-from simple_trainer import Config, Runner, create_splats, parse_config
+from simple_trainer import Config, Runner, parse_config
 
 
 class Runner2DGS(Runner):
@@ -42,138 +38,76 @@ class Runner2DGS(Runner):
         self.dist_lambda = dist_lambda
         self.normal_start = normal_start
         self.dist_start = dist_start
+        self._cur_step = 0
         # the 2DGS backward kernel's live set exceeds the v5e 16MB VMEM at
         # tile_size 32 (ray-transform cross products); 16 fits
         cfg.tile_size = min(cfg.tile_size, 16)
+        assert not cfg.distributed, "2DGS distributed training not wired yet"
         super().__init__(cfg)
 
-    def _make_step(self, width, height, sh_degree):
+    # --- hooks into the inherited jitted step -----------------------------
+
+    def _step_extra_key(self):
+        return (
+            self._cur_step >= self.normal_start,
+            self._cur_step >= self.dist_start,
+        )
+
+    def _raster_train(
+        self, params, colors, sh_deg_arg, viewmats, Ks, width, height,
+        carrier, live, backend, isect_capacity, render_mode,
+    ):
         cfg = self.cfg
-        optimizers = self.optimizers
-        use_normal = self._cur_step >= self.normal_start
         use_dist = self._cur_step >= self.dist_start
-        backend = "tiled" if self._on_tpu else "oracle"
-        isect_capacity = self.isect_capacity
+        (
+            render, alphas, normals, normals_depth, distort, median, meta
+        ) = rasterization_2dgs(
+            params["means"],
+            params["quats"],
+            jnp.exp(params["scales"]),
+            jax.nn.sigmoid(params["opacities"]),
+            colors,
+            viewmats,
+            Ks,
+            width,
+            height,
+            sh_degree=sh_deg_arg,
+            near_plane=cfg.near_plane,
+            far_plane=cfg.far_plane,
+            densify_carrier=carrier,
+            masks=live,
+            tile_size=cfg.tile_size,
+            backend=backend,
+            isect_capacity=isect_capacity,
+            # always render expected depth: the normal-consistency loss
+            # needs it (reference :561 uses RGB+ED / RGB+D)
+            render_mode="RGB+ED",
+            distloss=use_dist,
+        )
+        depths_map = render[..., -1:]
+        geom = {
+            "normals": normals,
+            "normals_depth": normals_depth,
+            "distort": distort,
+        }
+        return render[..., :3], alphas, depths_map, meta, geom
 
-        def step_fn(params, opt_states, live, camtoworlds, Ks, pixels, bkgd, key):
-            cap = live.shape[0]
-            B = camtoworlds.shape[0]
-            carrier = jnp.zeros((B, cap, 2), jnp.float32)
-
-            def loss_fn(params, carrier):
-                colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
-                (
-                    render, alphas, normals, normals_depth, distort, median, meta
-                ) = rasterization_2dgs(
-                    params["means"],
-                    params["quats"],
-                    jnp.exp(params["scales"]),
-                    jax.nn.sigmoid(params["opacities"]),
-                    colors,
-                    jnp.linalg.inv(camtoworlds),
-                    Ks,
-                    width,
-                    height,
-                    sh_degree=sh_degree,
-                    near_plane=cfg.near_plane,
-                    far_plane=cfg.far_plane,
-                    densify_carrier=carrier,
-                    masks=live,
-                    tile_size=cfg.tile_size,
-                    backend=backend,
-                    isect_capacity=isect_capacity,
-                    render_mode="RGB+ED",
-                    distloss=use_dist,
-                )
-                loss = train_loss(render[..., :3], pixels, cfg.ssim_lambda)
-                if use_normal:
-                    # normal consistency (simple_trainer_2dgs.py:611-624);
-                    # the alpha modulation of the depth-derived normals
-                    # happens here like the reference trainer (:618)
-                    normals_depth = normals_depth * jax.lax.stop_gradient(alphas)
-                    n = normals / jnp.clip(
-                        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-6
-                    )
-                    ncons = 1.0 - jnp.sum(n * normals_depth, axis=-1)
-                    loss = loss + self.normal_lambda * jnp.mean(ncons)
-                if use_dist:
-                    loss = loss + self.dist_lambda * jnp.mean(distort)
-                aux = {
-                    "radii": meta["radii"],
-                    "n_isects": meta.get("n_isects", jnp.int32(0)),
-                }
-                return loss, aux
-
-            (loss, aux), (g_params, g_carrier) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(params, carrier)
-            visibility = jnp.any(aux["radii"] > 0, axis=0)
-            new_states = {}
-            for k in params:
-                upd, st = optimizers[k].update(
-                    g_params[k], opt_states[k], params[k], visibility
-                )
-                params = {**params, k: params[k] + upd}
-                new_states[k] = st
-            return params, new_states, loss, aux["radii"], g_carrier, aux["n_isects"]
-
-        return jax.jit(step_fn, donate_argnums=(0, 1))
-
-    def train(self):
-        # track the step for loss warmups; rebuild the jitted step at the
-        # warmup boundaries
-        self._cur_step = 0
-        orig = self._make_step
-        boundaries = sorted({self.normal_start, self.dist_start})
-
-        cfg = self.cfg
-        rng = np.random.default_rng(cfg.seed)
-        key = jax.random.PRNGKey(cfg.seed)
-        t_start = time.time()
-        order = rng.permutation(len(self.trainset))
-        cursor = 0
-        shape = None
-        for step in range(cfg.max_steps):
-            self._cur_step = step
-            if cursor >= len(order):
-                order = rng.permutation(len(self.trainset))
-                cursor = 0
-            data = self.trainset[int(order[cursor])]
-            cursor += 1
-            pixels = jnp.asarray(data["image"])[None]
-            camtoworlds = jnp.asarray(data["camtoworld"])[None]
-            Ks = jnp.asarray(data["K"])[None]
-            H, W = pixels.shape[1:3]
-            sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
-            warm = tuple(step >= b for b in boundaries)
-            if self._step_fn is None or shape != (W, H, sh_degree, warm):
-                self._step_fn = self._make_step(W, H, sh_degree)
-                shape = (W, H, sh_degree, warm)
-            key, k_step, k_strat = jax.random.split(key, 3)
-            (
-                self.params, self.opt_states, loss, radii, g_carrier, n_isects
-            ) = self._step_fn(
-                self.params, self.opt_states, self.live,
-                camtoworlds, Ks, pixels, None, k_step,
+    def _geom_losses(self, loss, geom, alphas):
+        if self._cur_step >= self.normal_start:
+            # normal consistency (reference :611-624); alpha modulation of
+            # the depth-derived normals happens here like the reference
+            # trainer (:618)
+            normals_depth = geom["normals_depth"] * jax.lax.stop_gradient(alphas)
+            n = geom["normals"] / jnp.clip(
+                jnp.linalg.norm(geom["normals"], axis=-1, keepdims=True), 1e-6
             )
-            meta = {"radii": radii, "width": W, "height": H, "n_cameras": 1}
-            (
-                self.params, self.live, self.opt_states, self.strategy_state
-            ) = self.strategy.step_post_backward(
-                self.params, self.live, self.opt_states, self.strategy_state,
-                step, meta, g_carrier, k_strat,
-            )
-            if step % 100 == 0:
-                print(
-                    f"step {step}: loss={float(loss):.4f} "
-                    f"n_live={int(jnp.sum(self.live))} "
-                    f"({time.time() - t_start:.0f}s)", flush=True,
-                )
-                self._maybe_grow(int(n_isects))
-            if step + 1 in cfg.eval_steps:
-                self.eval(step + 1)
-            if step + 1 in cfg.save_steps:
-                self.save(step + 1)
+            ncons = 1.0 - jnp.sum(n * normals_depth, axis=-1)
+            loss = loss + self.normal_lambda * jnp.mean(ncons)
+        if self._cur_step >= self.dist_start:
+            loss = loss + self.dist_lambda * jnp.mean(geom["distort"])
+        return loss
+
+    # --- eval / viewer render --------------------------------------------
 
     def render(self, camtoworlds, Ks, width, height, sh_degree=None):
         colors = jnp.concatenate([self.params["sh0"], self.params["shN"]], axis=1)
@@ -192,8 +126,41 @@ class Runner2DGS(Runner):
             tile_size=self.cfg.tile_size,
             backend="tiled" if self._on_tpu else "oracle",
             isect_capacity=self.isect_capacity,
+            render_mode="RGB+ED",
         )
-        return out[0], out[1], out[6]
+        # rgb, alphas, meta — plus stash geometry outputs for eval_geometry
+        self._last_render_geom = {
+            "normals": out[2], "normals_from_depth": out[3],
+            "distort": out[4], "median": out[5],
+        }
+        return out[0][..., :3], out[1], out[6]
+
+    def eval_geometry(self, step: int):
+        """Geometry eval: mean normal-consistency error and distortion over
+        the val set (reference 2DGS trainer logs these alongside PSNR)."""
+        ncs, dists = [], []
+        for i in range(len(self.valset)):
+            data = self.valset[i]
+            pixels = jnp.asarray(data["image"])[None]
+            H, W = pixels.shape[1:3]
+            _, alphas, _ = self.render(
+                jnp.asarray(data["camtoworld"])[None],
+                jnp.asarray(data["K"])[None], W, H,
+            )
+            g = self._last_render_geom
+            n = g["normals"] / jnp.clip(
+                jnp.linalg.norm(g["normals"], axis=-1, keepdims=True), 1e-6
+            )
+            nfd = g["normals_from_depth"] * alphas
+            ncs.append(float(jnp.mean(1.0 - jnp.sum(n * nfd, axis=-1))))
+            dists.append(float(jnp.mean(g["distort"])))
+        stats = {
+            "step": step,
+            "normal_consistency": float(np.mean(ncs)),
+            "distortion": float(np.mean(dists)),
+        }
+        print("EVAL_GEOM", stats)
+        return stats
 
 
 def main():
@@ -201,6 +168,7 @@ def main():
     runner = Runner2DGS(cfg)
     runner.train()
     runner.eval(cfg.max_steps)
+    runner.eval_geometry(cfg.max_steps)
 
 
 if __name__ == "__main__":

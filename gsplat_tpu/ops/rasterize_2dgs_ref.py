@@ -169,7 +169,9 @@ def rasterize_to_indices_in_range_2dgs(
     gsplat/cuda/_wrapper.rasterize_to_indices_in_range_2dgs,
     csrc/RasterizeToIndices2DGS.cu). Static-shape: returns the dense
     contribution mask [C, H*W, range] and per-pair alpha instead of dynamic
-    COO lists."""
+    COO lists, plus ``new_transmittances`` [C, H*W] — the fused kernel's
+    termination stream to pass into the next window (see the 3DGS variant's
+    docstring, ops/rasterize_ref.py)."""
     C, N, _ = means2d.shape
     depth_bits = jax.lax.bitcast_convert_type(
         jax.lax.stop_gradient(depths), jnp.int32
@@ -227,4 +229,5 @@ def rasterize_to_indices_in_range_2dgs(
     log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
     logT_incl = jnp.log(jnp.clip(T0, 1e-12, None)) + jnp.cumsum(log1m, axis=-1)
     contrib = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
-    return contrib, alpha, sel
+    new_T = T0[..., 0] * jnp.exp(jnp.sum(log1m, axis=-1))
+    return contrib, alpha, sel, new_T

@@ -231,6 +231,15 @@ def rasterize_to_indices_in_range(
     returns the dense boolean contribution mask [C, H*W, range] plus the
     per-pair alpha — callers iterate fixed-size depth-rank windows instead
     of dynamic batches (same information, static shapes).
+
+    Returns (contrib [C, H*W, R] bool, alpha [C, H*W, R], sel [C, R],
+    new_transmittances [C, H*W]). Chain windows by passing
+    ``new_transmittances`` as the next window's ``transmittances``: it
+    advances the fused kernel's *termination* stream (accumulated over all
+    valid pairs, accepted or not), so iterating every window reproduces
+    rasterize_to_pixels_ref exactly — chaining the accepted-only
+    transmittance instead would resurrect pixels the fused render
+    terminated (the reference's dynamic pipeline has that same edge case).
     """
     C, N, _ = means2d.shape
     depth_bits = jax.lax.bitcast_convert_type(
@@ -278,4 +287,5 @@ def rasterize_to_indices_in_range(
     log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
     logT_incl = jnp.log(jnp.clip(T0, 1e-12, None)) + jnp.cumsum(log1m, axis=-1)
     contrib = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
-    return contrib, alpha, sel
+    new_T = T0[..., 0] * jnp.exp(jnp.sum(log1m, axis=-1))
+    return contrib, alpha, sel, new_T

@@ -169,3 +169,86 @@ def test_trainer_checkpoint_resume(tmp_path, rng):
         # same data order + same rng keys per step -> identical trajectories
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5, err_msg=k)
     assert int(np.sum(np.asarray(r1.live))) == int(np.sum(np.asarray(r2.live)))
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        {},
+        {"pose_opt": True, "depth_loss": True, "use_bilateral_grid": True},
+    ],
+    ids=["plain", "pose+depth+bilagrid"],
+)
+def test_trainer_2dgs_smoke(tmp_path, rng, flags):
+    """2DGS runner inherits the full loop (pose/bilagrid/depth/batching)
+    and adds warmup-gated geometry losses + geometry eval — parity with
+    the reference 2DGS trainer's feature set (simple_trainer_2dgs.py:414-632)."""
+    mod = _load_trainer()
+    spec = importlib.util.spec_from_file_location(
+        "simple_trainer_2dgs", os.path.join(_EX, "simple_trainer_2dgs.py")
+    )
+    mod2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod2)
+
+    data_dir = str(tmp_path / "scene")
+    _tiny_colmap(data_dir, rng)
+    cfg = mod.Config(
+        data_dir=data_dir,
+        data_factor=1,
+        result_dir=str(tmp_path / "out"),
+        max_steps=6,
+        eval_steps=[6],
+        save_steps=[4],
+        refine_start_iter=2,
+        refine_every=2,
+        sh_degree_interval=100,
+        test_every=5,
+        pool_headroom=1.5,
+        **flags,
+    )
+    runner = mod2.Runner2DGS(cfg, normal_start=3, dist_start=2)
+    runner.train()
+    stats = runner.eval(6)
+    assert np.isfinite(stats["psnr"])
+    geom = runner.eval_geometry(6)
+    assert np.isfinite(geom["normal_consistency"])
+    assert np.isfinite(geom["distortion"])
+    for v in runner.params.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_trainer_2dgs_resume(tmp_path, rng):
+    """Mid-train resume works through the inherited loop for 2DGS too."""
+    mod = _load_trainer()
+    spec = importlib.util.spec_from_file_location(
+        "simple_trainer_2dgs", os.path.join(_EX, "simple_trainer_2dgs.py")
+    )
+    mod2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod2)
+
+    data_dir = str(tmp_path / "scene")
+    _tiny_colmap(data_dir, rng)
+
+    def mk(result_dir, max_steps, save, resume=""):
+        return mod.Config(
+            data_dir=data_dir, data_factor=1, result_dir=result_dir,
+            max_steps=max_steps, eval_steps=[], save_steps=save,
+            refine_start_iter=2, refine_every=2, sh_degree_interval=100,
+            test_every=5, pool_headroom=1.5, resume=resume,
+        )
+
+    outA = str(tmp_path / "A")
+    rA = mod2.Runner2DGS(mk(outA, 6, [3]), normal_start=2, dist_start=2)
+    rA.train()
+
+    outB = str(tmp_path / "B")
+    rB = mod2.Runner2DGS(
+        mk(outB, 6, [], resume=os.path.join(outA, "ckpt_3.npz")),
+        normal_start=2, dist_start=2,
+    )
+    rB.train()
+    for k in rA.params:
+        np.testing.assert_allclose(
+            np.asarray(rA.params[k]), np.asarray(rB.params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )

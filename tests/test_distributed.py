@@ -122,3 +122,91 @@ def test_distributed_sh_colors(rng, mesh):
         )
     )(*sharded)
     np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5)
+
+
+def test_distributed_packed_matches_dense(rng, mesh):
+    """Packed fixed-capacity exchange == dense exchange == single device
+    (values, grads, truncation signal) when pack_capacity is sufficient."""
+    from gsplat_tpu.distributed import rasterization_distributed_packed
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(rng)
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    bg = jnp.asarray(rng.random((viewmats.shape[0], 3)).astype(np.float32))
+
+    r0, a0, m0 = rasterization(*args, vm, K, W, H, backgrounds=bg)
+
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    r1, a1, m1 = jax.jit(
+        lambda *a: rasterization_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=32, backgrounds=bg
+        )
+    )(*sharded)
+    np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(m1["radii"]), np.asarray(m0["radii"])
+    )
+    # the truncation signal reports the max per-(camera, shard) visible
+    # count; with 256/8 = 32 slots it must be <= capacity here
+    assert int(m1["pack_required"]) <= 32
+    # sanity: visibility is genuinely sparse so packing is exercised
+    assert int(m1["pack_required"]) < 32 or int(
+        jnp.sum(jnp.asarray(m0["radii"]) > 0)
+    ) < 8 * 256
+
+
+def test_distributed_packed_gradients_match(rng, mesh):
+    from gsplat_tpu.distributed import rasterization_distributed_packed
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=128, C=8, W=32, H=32
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    wr = jnp.asarray(
+        rng.standard_normal((viewmats.shape[0], H, W, 3)).astype(np.float32)
+    )
+
+    def loss_single(*a):
+        r, al, _ = rasterization(*a, vm, K, W, H)
+        return jnp.sum(r * wr) + jnp.sum(al)
+
+    def loss_packed(*a):
+        r, al, _ = rasterization_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=16
+        )
+        return jnp.sum(r * wr) + jnp.sum(al)
+
+    g0 = jax.grad(loss_single, argnums=(0, 1, 2, 3, 4))(*args)
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    g1 = jax.jit(jax.grad(loss_packed, argnums=(0, 1, 2, 3, 4)))(*sharded)
+    names = ["means", "quats", "scales", "opacities", "colors"]
+    for n, x, y in zip(names, g0, g1):
+        s = max(float(jnp.abs(x).max()), 1.0)
+        np.testing.assert_allclose(
+            x, y, atol=2e-4 * s, rtol=2e-4, err_msg=f"grad {n}"
+        )
+
+
+def test_distributed_packed_truncation_signal(rng, mesh):
+    """Over-tight pack_capacity truncates and pack_required reports the
+    true requirement (> capacity) for the out-of-jit growth loop."""
+    from gsplat_tpu.distributed import rasterization_distributed_packed
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(rng)
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    _, _, m = jax.jit(
+        lambda *a: rasterization_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=4
+        )
+    )(*sharded)
+    assert int(m["pack_required"]) > 4

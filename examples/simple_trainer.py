@@ -345,8 +345,12 @@ class Runner:
                 f"device count ({n_dev}) — one camera group per device "
                 "(same constraint as the reference distributed mode)"
             )
-            assert not (cfg.app_opt or cfg.use_bilateral_grid or cfg.pose_opt), (
-                "distributed mode currently supports the core splat path"
+            # pose/appearance/bilagrid run on replicated params outside the
+            # shard_map — jit psums their grads (DDP-equivalent, reference
+            # simple_trainer.py:380-410). Depth loss needs a depth render
+            # mode through the exchange; not wired yet.
+            assert not cfg.depth_loss, (
+                "depth_loss is not supported in distributed mode yet"
             )
             self.mesh = Mesh(np.array(jax.devices()), ("gauss",))
             shard = NamedSharding(self.mesh, P("gauss"))
@@ -506,22 +510,27 @@ class Runner:
             B = camtoworlds.shape[0]
             carrier = jnp.zeros((B, cap, 2), jnp.float32)
 
-            def loss_fn_distributed(params, aux_params, carrier):
+            def _raster_distributed(params, colors, sh_deg_arg, viewmats, carrier):
+                # Gaussian-sharded projection + a2a exchange; aux modules
+                # (pose/appearance/bilagrid) run OUTSIDE the shard_map on
+                # replicated params — jit inserts their gradient psums, the
+                # SPMD equivalent of the reference's DDP wrappers
+                # (simple_trainer.py:380-410). True per-Gaussian radii come
+                # back owner-side for SelectiveAdam/strategy stats.
                 from gsplat_tpu.distributed import rasterization_distributed
 
-                colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
                 render, alphas, meta = rasterization_distributed(
                     params["means"],
                     params["quats"],
                     jnp.exp(params["scales"]),
                     jax.nn.sigmoid(params["opacities"]),
                     colors,
-                    jnp.linalg.inv(camtoworlds),
+                    viewmats,
                     Ks,
                     width,
                     height,
                     mesh=mesh,
-                    sh_degree=sh_degree,
+                    sh_degree=sh_deg_arg,
                     near_plane=cfg.near_plane,
                     far_plane=cfg.far_plane,
                     tile_size=cfg.tile_size,
@@ -529,18 +538,11 @@ class Runner:
                     isect_capacity=isect_capacity,
                     masks=live,
                     means2d_carrier=carrier,
+                    per_camera_colors=sh_deg_arg is None,
                 )
-                if bkgd is not None:
-                    render = render + bkgd * (1.0 - alphas)
-                loss = train_loss(render, pixels, cfg.ssim_lambda)
-                # true per-Gaussian visibility from the owner shards
-                # (pre-exchange radii), so SelectiveAdam masking and
-                # DefaultStrategy stats match single-host behavior
-                aux = {
-                    "radii": meta["radii"],
-                    "n_isects": jnp.max(meta["n_isects"]),
-                }
-                return loss, aux
+                meta = dict(meta)
+                meta["n_isects"] = jnp.max(meta["n_isects"])
+                return render, alphas, None, meta, {}
 
             # hook points for the 2DGS runner (which inherits the full loop
             # incl. pose/appearance/bilagrid/depth/batching/resume)
@@ -566,10 +568,15 @@ class Runner:
                     )
                     sh_deg_arg = sh_degree
 
-                render, alphas, depths_map, meta, geom = self._raster_train(
-                    params, colors, sh_deg_arg, viewmats, Ks, width, height,
-                    carrier, live, backend, isect_capacity, render_mode,
-                )
+                if mesh is not None:
+                    render, alphas, depths_map, meta, geom = _raster_distributed(
+                        params, colors, sh_deg_arg, viewmats, carrier
+                    )
+                else:
+                    render, alphas, depths_map, meta, geom = self._raster_train(
+                        params, colors, sh_deg_arg, viewmats, Ks, width, height,
+                        carrier, live, backend, isect_capacity, render_mode,
+                    )
                 if "bilagrid" in aux_params:
                     render = slice_grid(aux_params["bilagrid"], image_ids, render)
                 if bkgd is not None:
@@ -609,7 +616,7 @@ class Runner:
                 }
                 return loss, aux
 
-            lf = loss_fn_distributed if mesh is not None else loss_fn
+            lf = loss_fn
             (loss, aux), (g_params, g_aux, g_carrier) = jax.value_and_grad(
                 lf, argnums=(0, 1, 2), has_aux=True
             )(params, aux_params, carrier)

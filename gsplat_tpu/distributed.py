@@ -36,7 +36,12 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map as _shard_map  # jax >= 0.8
+
+    def shard_map(f, **kw):
+        # Pallas out_shapes carry no varying-mesh-axes annotation; skip the
+        # new vma check (the old jax.experimental behavior)
+        return _shard_map(f, check_vma=False, **kw)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
@@ -69,9 +74,14 @@ def rasterization_distributed(
     isect_capacity: Optional[int] = None,  # per-shard capacity
     masks: Optional[jax.Array] = None,  # [N] bool
     means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros, N-sharded
+    per_camera_colors: bool = False,  # colors is [C, N, D] (N-sharded)
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Distributed rasterization: Gaussian-sharded projection, camera-sharded
     rasterization, differentiable all-to-all exchange.
+
+    ``per_camera_colors=True`` means ``colors`` is already view-dependent
+    [C, N, D] (e.g. from an appearance module, reference
+    simple_trainer.py:380-410 DDP path) — it rides the exchange as-is.
 
     Returns (render_colors [C, H, W, D], render_alphas [C, H, W, 1], meta)
     with the camera axis sharded over `axis`.
@@ -86,7 +96,10 @@ def rasterization_distributed(
     if backend == "auto":
         backend = "tiled" if isect_capacity is not None else "oracle"
 
-    if sh_degree is not None:
+    if per_camera_colors:
+        assert sh_degree is None
+        color_spec = P(None, axis, None)
+    elif sh_degree is not None:
         color_spec = P(axis, None, None)
     else:
         color_spec = P(axis, None)
@@ -137,7 +150,9 @@ def rasterization_distributed(
         n_local = means.shape[0]
 
         # per-view colors, evaluated by the Gaussian's owner shard
-        if sh_degree is None:
+        if per_camera_colors:
+            colors_cn = colors
+        elif sh_degree is None:
             colors_cn = jnp.broadcast_to(
                 colors[None], (C, n_local, colors.shape[-1])
             )

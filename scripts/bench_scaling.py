@@ -5,8 +5,11 @@ size (1, 2, 4, ... devices), holding per-device work constant (weak scaling:
 N Gaussians and C cameras grow with the mesh), and reports parallel
 efficiency — the BASELINE.md north star is >= 80% at N >= 2 hosts.
 
-On this single-chip image it runs on the virtual CPU mesh (correctness of
-the harness, not meaningful absolute numbers); on a real slice, run as-is:
+Always exercises the TILED backend — the real program — under shard_map
+(interpret-mode Pallas on the CPU mesh, native on TPU), so the efficiency
+number measures the production pipeline, not the oracle stand-in. On this
+single-chip image the CPU mesh provides the only multi-device shape; on a
+real slice, run as-is:
 
     python scripts/bench_scaling.py --width 1920 --height 1080 --n-per-dev 500000
 """
@@ -26,9 +29,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--height", type=int, default=360)
-    ap.add_argument("--n-per-dev", type=int, default=20000)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--n-per-dev", type=int, default=4000)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force an 8-device CPU mesh (harness self-test)")
@@ -87,12 +90,12 @@ def main():
         ]
         vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
 
-        cap = 2 ** 21 if on_tpu else None
+        cap = 2 ** 21 if on_tpu else 2 ** 16
 
         def loss(m, q, s, o, c):
             r, a, _ = rasterization_distributed(
                 m, q, s, o, c, vm, K, W, H, mesh=mesh,
-                backend="tiled" if on_tpu else "oracle",
+                backend="tiled",
                 isect_capacity=cap, tile_size=32 if on_tpu else 16,
             )
             return jnp.sum(r) + jnp.sum(a)

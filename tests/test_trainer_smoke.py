@@ -108,9 +108,17 @@ def test_trainer_smoke(tmp_path, rng, flags):
         assert np.all(np.isfinite(np.asarray(v)))
 
 
-def test_trainer_distributed_smoke(tmp_path, rng):
+@pytest.mark.parametrize(
+    "aux",
+    [{}, {"pose_opt": True, "app_opt": True, "use_bilateral_grid": True}],
+    ids=["plain", "pose+app+bilagrid"],
+)
+def test_trainer_distributed_smoke(tmp_path, rng, aux):
     """Distributed training on the 8-device CPU mesh: Gaussian-sharded pool,
-    all_to_all exchange, one camera per device (batch_size = 8)."""
+    all_to_all exchange, one camera per device (batch_size = 8). The aux
+    variant exercises the DDP-equivalent path: pose/appearance/bilagrid on
+    replicated params outside the shard_map (reference
+    simple_trainer.py:380-410)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     mod = _load_trainer()
@@ -131,6 +139,7 @@ def test_trainer_distributed_smoke(tmp_path, rng):
         pool_headroom=1.5,
         distributed=True,
         batch_size=8,
+        **aux,
     )
     runner = mod.Runner(cfg)
     assert runner.mesh is not None

@@ -128,6 +128,12 @@ class Config:
     # here: Gaussian-sharded mesh + all_to_all, one camera per device)
     distributed: bool = False
     resume: str = ""  # path to a ckpt_*.npz to resume training from
+    # milestone artifacts (reference simple_trainer.py:703-718,934-1023)
+    render_traj: bool = False  # fly-through video at eval steps
+    render_traj_path: str = "interp"  # or "ellipse"
+    compression: str = ""  # "png": compress + round-trip eval at save steps
+    tb_every: int = 100  # TensorBoard scalar cadence (0 = disable)
+    tb_save_image: bool = False  # log train-view render images to TB
     # TPU pool management
     pool_headroom: float = 2.0  # initial capacity = N0 * headroom
     pool_grow_at: float = 0.9  # grow pool when live fraction exceeds this
@@ -782,11 +788,38 @@ class Runner:
                         "step": step, "loss": float(loss), "n_live": n_live,
                         "elapsed_s": time.time() - t_start,
                     }) + "\n")
+            if cfg.tb_every > 0 and step % cfg.tb_every == 0 and self._tb:
+                # scalar cadence parity: reference simple_trainer.py:703-718
+                tb = self._tb
+                tb.add_scalar("train/loss", float(loss), step)
+                tb.add_scalar("train/num_GS", int(jnp.sum(self.live)), step)
+                tb.add_scalar("train/n_isects", int(n_isects), step)
+                tb.add_scalar(
+                    "train/mem_params_mb",
+                    sum(v.nbytes for v in self.params.values()) / 2**20,
+                    step,
+                )
+                if cfg.tb_save_image:
+                    H, W = pixels.shape[1:3]
+                    rgb, _, _ = self.render(camtoworlds[:1], Ks[:1], W, H)
+                    canvas = np.concatenate(
+                        [np.asarray(pixels[0]), np.clip(np.asarray(rgb[0]), 0, 1)],
+                        axis=1,
+                    )
+                    tb.add_image(
+                        "train/render", canvas, step, dataformats="HWC"
+                    )
+                tb.flush()
 
             if step + 1 in cfg.eval_steps:
                 self.eval(step + 1)
+                if cfg.render_traj:
+                    self.render_traj(step + 1)
             if step + 1 in cfg.save_steps:
                 self.save(step + 1)
+                if cfg.compression:
+                    assert cfg.compression == "png", cfg.compression
+                    self.run_compression(step + 1)
 
         print(f"training done in {(time.time() - t_start) / 60:.1f} min")
 
@@ -833,6 +866,105 @@ class Runner:
             masks=self.live,
             tile_size=self.cfg.tile_size,
         )
+
+    @property
+    def _tb(self):
+        """Lazy TensorBoard writer (reference simple_trainer.py:330-333);
+        None when tensorboard isn't importable or tb_every == 0."""
+        if not hasattr(self, "_tb_writer"):
+            self._tb_writer = None
+            if self.cfg.tb_every > 0:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb_writer = SummaryWriter(
+                        log_dir=os.path.join(self.cfg.result_dir, "tb")
+                    )
+                except ImportError:
+                    pass
+        return self._tb_writer
+
+    def render_traj(self, step: int):
+        """Fly-through video along a path fit to the train cameras
+        (reference simple_trainer.py:934-1006). Writes
+        result_dir/videos/traj_{path}_{step}.mp4."""
+        from gsplat_tpu.datasets.traj import (
+            generate_ellipse_path_z, generate_interpolated_path,
+        )
+
+        cfg = self.cfg
+        c2w_all = self.parser.camtoworlds[:, :3, :4]
+        if cfg.render_traj_path == "ellipse":
+            height = float(np.mean(c2w_all[:, 2, 3]))
+            path = generate_ellipse_path_z(c2w_all, height=height)
+        else:
+            path = generate_interpolated_path(c2w_all, 1)
+        data = self.valset[0]
+        K = np.asarray(data["K"])
+        H, W = data["image"].shape[:2]
+        frames = []
+        for c2w34 in path:
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, :4] = c2w34
+            rgb, alphas, _ = self.render(
+                jnp.asarray(c2w)[None], jnp.asarray(K)[None], W, H
+            )
+            if cfg.white_bkgd:
+                rgb = rgb + (1.0 - alphas)
+            frames.append(
+                (np.clip(np.asarray(rgb[0]), 0, 1) * 255).astype(np.uint8)
+            )
+        vdir = os.path.join(cfg.result_dir, "videos")
+        os.makedirs(vdir, exist_ok=True)
+        out = os.path.join(vdir, f"traj_{cfg.render_traj_path}_{step}.mp4")
+        try:
+            import imageio.v2 as imageio
+
+            imageio.mimwrite(out, frames, fps=30)
+            print(f"wrote {out} ({len(frames)} frames)")
+        except Exception as e:  # pragma: no cover - codec availability
+            out = out.replace(".mp4", "_frames.npz")
+            np.savez_compressed(out, frames=np.stack(frames))
+            print(f"mp4 writer unavailable ({e}); wrote {out}")
+        return out
+
+    def run_compression(self, step: int):
+        """Compress the live splats, then round-trip eval (reference
+        simple_trainer.py:1008-1023 run_compression)."""
+        from gsplat_tpu.compression import PngCompression
+
+        cdir = os.path.join(self.cfg.result_dir, f"compression_{step}")
+        live = np.asarray(self.live)
+        splats = {
+            k: np.asarray(v)[live]
+            for k, v in self.params.items()
+            if k in ("means", "scales", "quats", "opacities", "sh0", "shN")
+        }
+        comp = PngCompression()
+        comp.compress(cdir, splats)
+        size = sum(
+            os.path.getsize(os.path.join(cdir, f)) for f in os.listdir(cdir)
+        )
+        restored = comp.decompress(cdir)
+        # round-trip eval: swap the live pool contents, eval, restore
+        saved = {k: self.params[k] for k in restored}
+        n = restored["means"].shape[0]
+        for k, v in restored.items():
+            self.params[k] = jnp.asarray(
+                np.concatenate(
+                    [v, np.zeros((live.shape[0] - n,) + v.shape[1:], v.dtype)]
+                )
+            )
+        saved_live = self.live
+        self.live = jnp.arange(live.shape[0]) < n
+        stats = self.eval(step)
+        self.params.update(saved)
+        self.live = saved_live
+        report = {"step": step, "size_bytes": int(size), **stats}
+        with open(os.path.join(cdir, "report.json"), "w") as f:
+            json.dump(report, f)
+        print("COMPRESSION", json.dumps(report))
+        return report
 
     def eval(self, step: int):
         psnrs, ssims, lpipss = [], [], []
@@ -883,6 +1015,11 @@ class Runner:
         print("EVAL", json.dumps(stats))
         with open(os.path.join(self.cfg.result_dir, f"val_step{step}.json"), "w") as f:
             json.dump(stats, f)
+        if self._tb:
+            for k in ("psnr", "ssim", "lpips", "num_GS"):
+                if k in stats:
+                    self._tb.add_scalar(f"val/{k}", stats[k], step)
+            self._tb.flush()
         return stats
 
     def save(self, step: int):

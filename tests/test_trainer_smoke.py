@@ -5,6 +5,7 @@ through real train steps — the reference has no trainer-level test at all.
 """
 
 import importlib.util
+import json
 import os
 import struct
 import sys
@@ -261,3 +262,40 @@ def test_trainer_2dgs_resume(tmp_path, rng):
             np.asarray(rA.params[k]), np.asarray(rB.params[k]),
             rtol=1e-5, atol=1e-6, err_msg=k,
         )
+
+
+def test_trainer_milestone_artifacts(tmp_path, rng):
+    """render_traj video, PNG-compression round-trip hook, and TensorBoard
+    scalars (reference simple_trainer.py:703-718, 934-1023)."""
+    mod = _load_trainer()
+    data_dir = str(tmp_path / "scene")
+    _tiny_colmap(data_dir, rng)
+    cfg = mod.Config(
+        data_dir=data_dir,
+        data_factor=1,
+        result_dir=str(tmp_path / "out"),
+        max_steps=4,
+        eval_steps=[4],
+        save_steps=[4],
+        refine_start_iter=2,
+        refine_every=2,
+        sh_degree_interval=100,
+        test_every=5,
+        pool_headroom=1.5,
+        render_traj=True,
+        compression="png",
+        tb_every=2,
+        tb_save_image=True,
+    )
+    runner = mod.Runner(cfg)
+    runner.train()
+    out = cfg.result_dir
+    vids = os.listdir(os.path.join(out, "videos"))
+    assert any(v.startswith("traj_interp_4") for v in vids), vids
+    cdir = os.path.join(out, "compression_4")
+    report = json.load(open(os.path.join(cdir, "report.json")))
+    assert report["size_bytes"] > 0
+    assert np.isfinite(report["psnr"])
+    # TB event files written
+    tb_files = os.listdir(os.path.join(out, "tb"))
+    assert any("tfevents" in f for f in tb_files), tb_files

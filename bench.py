@@ -22,12 +22,11 @@ BASELINE_PIXELS_PER_S = 1.286e8
 
 def main():
     from gsplat_tpu import load_test_data, rasterization
-    from gsplat_tpu.ops.isect import suggest_capacity
 
     try:
-        from gsplat_tpu.ops.rasterize_tiled import rasterize_to_pixels_tiled  # noqa
+        from gsplat_tpu.ops.rasterize_binned import rasterize_to_pixels_binned  # noqa
 
-        backend = "tiled"
+        backend = "binned"
         scene_grid = 5
     except Exception:
         backend = "oracle"
@@ -63,27 +62,31 @@ def main():
     # (48/64 exceed it); see PERF.md.
     tile_size = 32
     isect_capacity = None
-    if backend == "tiled":
-        # Probe the true intersection count once, then pick a static capacity
-        # (the out-of-jit capacity decision — see ops/isect.py docstring).
-        from gsplat_tpu.ops.isect import isect_tiles
+    if backend == "binned":
+        # Probe the exact slab budget once, then use a tight static
+        # capacity (out-of-jit capacity decision; the binned engine
+        # reports slab_required the same way isect_tiles reports
+        # n_isects).
+        from gsplat_tpu.ops.binning import bin_gaussians
         from gsplat_tpu.ops.projection import fully_fused_projection
 
-        radii, means2d, depths = jax.jit(
+        radii, means2d, depths, conics, _ = jax.jit(
             lambda m, q, s: fully_fused_projection(
                 m, q, s, args[5], args[6], width, height
-            )[:3]
+            )
         )(args[0], args[1], args[2])
         tw, th = -(-width // tile_size), -(-height // tile_size)
-        probe = isect_tiles(
-            means2d, radii, depths, tile_size, tw, th, capacity=8
+        C_ = viewmats.shape[0]
+        N_ = args[0].shape[0]
+        opc = jnp.broadcast_to(args[3][None], (C_, N_))
+        colp = jnp.broadcast_to(args[4][None], (C_, N_, 3))
+        probe = bin_gaussians(
+            means2d[..., 0], means2d[..., 1], conics[..., 0],
+            conics[..., 1], conics[..., 2], opc, colp, radii, depths,
+            tile_size, tw, th, capacity=512, cull=True,
         )
-        n_isects = int(probe.n_isects)
-        # tight slack: the bench re-probes every run, so unlike training
-        # there is no growth headroom needed, and every binning op scales
-        # with capacity
-        isect_capacity = suggest_capacity(n_isects, slack=1.05)
-        print(f"n_gaussians={args[0].shape[0]} n_isects={n_isects} "
+        isect_capacity = int(probe.slab_required) + 1024
+        print(f"n_gaussians={N_} slab_required={int(probe.slab_required)} "
               f"capacity={isect_capacity}", file=sys.stderr)
 
     def loss_fn(means, quats, scales, opacities, colors, viewmats, Ks):

@@ -618,7 +618,11 @@ class Runner:
                     loss = loss + cfg.scale_reg * jnp.sum(sc) / (3 * jnp.sum(live))
                 aux = {
                     "radii": meta["radii"],
-                    "n_isects": meta.get("n_isects", jnp.int32(0)),
+                    # capacity feedback: the binned engine reports the slab
+                    # budget it needs (>= n_isects); tiled reports n_isects
+                    "n_isects": meta.get(
+                        "slab_required", meta.get("n_isects", jnp.int32(0))
+                    ),
                 }
                 return loss, aux
 
@@ -843,13 +847,13 @@ class Runner:
                 width,
                 height,
                 sh_degree=None,
-                backend="tiled" if self._on_tpu else "oracle",
+                backend="binned" if self._on_tpu else "oracle",
                 isect_capacity=self.isect_capacity,
                 masks=self.live,
                 tile_size=self.cfg.tile_size,
             )
         colors = jnp.concatenate([self.params["sh0"], self.params["shN"]], axis=1)
-        backend = "tiled" if self._on_tpu else "oracle"
+        backend = "binned" if self._on_tpu else "oracle"
         return rasterization(
             self.params["means"],
             self.params["quats"],

@@ -60,7 +60,13 @@ def timeit(name, fn, *args, vary=0):
     t0 = time.perf_counter()
     for i in range(ITERS):
         a = list(args)
-        a[vary] = a[vary] + np.float32((i + 1) * 1e-7)
+        if jnp.issubdtype(a[vary].dtype, jnp.integer):
+            a[vary] = a[vary] + np.int32(0)  # re-upload defeats memoization
+            a[vary] = jnp.where(
+                jnp.arange(a[vary].shape[-1]) == i, a[vary] + 1, a[vary]
+            )
+        else:
+            a[vary] = a[vary] + np.float32((i + 1) * 1e-7)
         out = fn_j(*a)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / ITERS * 1e3
@@ -68,36 +74,50 @@ def timeit(name, fn, *args, vary=0):
     return out, dt
 
 
-# --- full bin_gaussians ---
-bin_fn = functools.partial(
-    B.bin_gaussians, tile_size=ts, tile_width=tw, tile_height=th,
-    capacity=cap, cull=True)
-binned, _ = timeit("bin_all", lambda x: bin_fn(
-    x, my, ca, cb, cc, opc, cols, radii, depths), mx)
+# Measurement rules (hard-won):
+#  - every timed fn takes its arrays as EXPLICIT ARGS (closure-captured
+#    device arrays bake into the executable as constants)
+#  - every timed fn returns SCALARS only (multi-MB outputs pay tunnel
+#    transfer under the remote execution layer)
+#  - vary one input per iteration (dispatch memoization)
 
-# --- sort alone (12 operands at capA) ---
-capA = binned.entries.shape[1]
-NFr = binned.entries.shape[0]
-tk = jnp.argsort(jnp.sin(jnp.arange(capA, dtype=jnp.float32))).astype(jnp.int32)
-dk = jnp.arange(capA, dtype=jnp.int32)[::-1]
-gidk = jnp.arange(capA, dtype=jnp.int32)
-payload = tuple(binned.entries[r] for r in range(NFr))
+def tsum(x):
+    return sum(jnp.sum(l) for l in jax.tree.leaves(x))
 
-def sort_fn(t0):
-    ops = (t0, dk, gidk) + payload
-    return jax.lax.sort(ops, num_keys=3, is_stable=False)[0]
 
-_ = timeit("sort12", sort_fn, tk)
+T = C * th * tw
+
+# --- bin_gaussians + substages ---
+bin_kw = dict(tile_size=ts, tile_width=tw, tile_height=th,
+              capacity=cap, cull=True)
+binned = jax.jit(functools.partial(B.bin_gaussians, **bin_kw))(
+    mx, my, ca, cb, cc, opc, cols, radii, depths)
+jax.block_until_ready(binned)
+
+timeit("bin_all", lambda x, *r: tsum(
+    B.bin_gaussians(x, *r, **bin_kw)[:2]),
+    mx, my, ca, cb, cc, opc, cols, radii, depths)
+
+emitted, slab_req = jax.jit(functools.partial(B.emit_entries, **bin_kw))(
+    mx, my, ca, cb, cc, opc, cols, radii, depths)
+jax.block_until_ready(emitted)
+
+timeit("emit", lambda x, *r: tsum(
+    B.emit_entries(x, *r, **bin_kw)[0][:3]),
+    mx, my, ca, cb, cc, opc, cols, radii, depths)
+
+timeit("sortoffs", lambda *ops: tsum(B.sort_entries(ops, T)[:2]), *emitted)
 
 # --- forward kernel alone ---
 D = 3
 Dp = RB._round_up(D, 8)
 F = RB._round_up(6 + Dp, 8)
-Kb = 128
-T = C * th * tw
+Kf, Kb = 512, 256
 P = ts * ts
 GR = RB._round_up(1 + 6 + D, 8)
-cfg = (C, N, T, th, tw, ts, P, D, Dp, F, Kb, RB._round_up(cap, 512), GR,
+capA = binned.entries.shape[1]
+NFr = binned.entries.shape[0]
+cfg = (C, N, T, th, tw, ts, P, D, Dp, F, Kf, Kb, RB._round_up(cap, 512), GR,
        False, False, True)
 entries_full = jnp.concatenate([
     binned.entries,
@@ -105,9 +125,12 @@ entries_full = jnp.concatenate([
     binned.gids.astype(jnp.float32),
 ], axis=0)
 
-fwd_out, _ = timeit("fwd_k", lambda e: RB._fwd_call(cfg, e, binned.offs, binned.cnts),
-                    entries_full)
-accum, logT, last = fwd_out
+timeit("fwd_k", lambda e, o, c: tsum(RB._fwd_call(cfg, e, o, c)[:2]),
+       entries_full, binned.offs, binned.cnts)
+accum, logT, last = jax.jit(
+    lambda e, o, c: RB._fwd_call(cfg, e, o, c)
+)(entries_full, binned.offs, binned.cnts)
+jax.block_until_ready((accum, logT, last))
 
 # --- backward kernel alone ---
 cnts = binned.cnts
@@ -117,31 +140,41 @@ capA2 = RB._round_up(capA + 2 * Kb * T, 128)
 v_accum = jnp.ones((T, Dp, P), jnp.float32)
 v_logT = jnp.ones((T, 1, P), jnp.float32)
 
-vgr, _ = timeit("bwd_k", lambda e: RB._bwd_call(
-    cfg, e, binned.offs, cnts, aoff, capA2, logT, last, v_accum, v_logT),
-    entries_full)
+bwd_args = (entries_full, binned.offs, cnts, aoff, logT, last, v_accum, v_logT)
+timeit("bwd_k", lambda e, o, c, a, lt, la, va, vl: tsum(
+    RB._bwd_call(cfg, e, o, c, a, capA2, lt, la, va, vl)), *bwd_args)
+vgr = jax.jit(lambda e, o, c, a, lt, la, va, vl: RB._bwd_call(
+    cfg, e, o, c, a, capA2, lt, la, va, vl))(*bwd_args)
+jax.block_until_ready(vgr)
 
-# --- gid sort (GR operands at capA2) ---
-def gsort_fn(v0):
-    ops = (vgr[0].astype(jnp.int32) + (v0[:1] * 0).astype(jnp.int32),) + tuple(
-        vgr[1:GR])
-    s = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    return jnp.stack((s[0].astype(jnp.float32),) + s[1:], axis=0)
+# --- gid sort (used operands at capA2) ---
+U = 7 + D
 
-vg_s, _ = timeit("gsort", gsort_fn, vgr[1])
+def gsort(v):
+    ops = (v[0].astype(jnp.int32),) + tuple(v[1:U])
+    s_ = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    return jnp.concatenate(
+        [jnp.stack((s_[0].astype(jnp.float32),) + s_[1:], axis=0),
+         jnp.zeros((GR - U, capA2), jnp.float32)], axis=0)
+
+timeit("gsort", lambda v: tsum(gsort(v)), vgr)
+vg_s = jax.jit(gsort)(vgr)
+jax.block_until_ready(vg_s)
 
 # --- reduce ---
-_ = timeit("reduce", lambda v: RB._reduce_call(
-    v[0].astype(jnp.int32), v, M=C * N, GR=GR, interpret=False), vg_s)
+timeit("reduce", lambda v: tsum(RB._reduce_call(
+    v[0].astype(jnp.int32), v, M=C * N, GR=GR, interpret=False)), vg_s)
 
 # --- full fwd+bwd ---
-wr = jnp.ones((C, height, width, 3), jnp.float32)
-
-def loss(m2d_x):
+def loss(m2d_x, m2d_y, c3, col, op, rad, dep):
     r, a, _ = RB.rasterize_to_pixels_binned(
-        (m2d_x, my), (ca, cb, cc), cols, opc, radii, depths,
+        (m2d_x, m2d_y), c3, col, op, rad, dep,
         width, height, ts, capacity=cap, cull=True)
-    return jnp.sum(r * wr) + jnp.sum(a)
+    return jnp.sum(r) + jnp.sum(a)
 
-_ = timeit("full", jax.grad(loss), mx)
+timeit(
+    "full",
+    lambda x, *rest: tsum(jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, *rest)),
+    mx, my, (ca, cb, cc), cols, opc, radii, depths,
+)
 print("DONE", flush=True)

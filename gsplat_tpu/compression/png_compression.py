@@ -182,7 +182,7 @@ class PngCompression:
             keep = np.argsort(splats["opacities"].reshape(-1))[n_crop:]
             splats = {k: v[keep] for k, v in splats.items()}
         if self.use_sort:
-            splats = sort_splats(splats)
+            splats = sort_splats(splats, n_sidelen=n_sidelen)
 
         meta = {}
         for name, value in splats.items():

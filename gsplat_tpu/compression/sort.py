@@ -1,16 +1,25 @@
-"""Spatial coherence sort before grid compression.
+"""Spatial-coherence sort before grid compression.
 
 The reference uses the PLAS 2-D self-organizing sort
 (gsplat/compression/sort.py:7-46, external `plas` package) to lay splats out
 on a smooth 2-D grid so the PNG codec compresses better. PLAS is an
-iterative GPU solver; here we use a Morton-order (Z-curve) sort of the
-normalized positions — a one-pass approximation that captures most of the
-spatial-coherence win with numpy only.
+iterative GPU solver minimizing the summed feature distance between grid
+neighbors; here we approximate the same objective in three numpy-only
+stages:
+
+  1. Morton-order (Z-curve) pre-sort of the normalized positions,
+  2. serpentine (boustrophedon) placement onto the PNG grid, so list
+     neighbors stay 2-D adjacent across row boundaries,
+  3. vectorized even-odd transposition refinement along rows: swaps
+     adjacent grid cells when that lowers the L1 distance of the
+     *quantized stored bytes* to the along-row neighbors — the quantity
+     PNG's left-predicting filters actually encode (an L2/4-neighbor
+     objective was tried first and measurably HURT the PNG size).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -26,13 +35,86 @@ def _morton3(x: np.ndarray, bits: int = 16) -> np.ndarray:
     return codes
 
 
-def sort_splats(splats: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Reorder splats along a Z-curve of their (log-transformed) positions."""
+def _feature_grid(splats: Dict[str, np.ndarray], s: int):
+    """The attributes as the codec will store them: per-channel min-max
+    quantized bytes (shN is K-means-coded, not filter-predicted — skip)."""
+    feats = []
+    for k, v in splats.items():
+        if k == "shN":
+            continue
+        f = v.reshape(s * s, -1).astype(np.float32)
+        mins, maxs = f.min(axis=0), f.max(axis=0)
+        f = (f - mins) / np.maximum(maxs - mins, 1e-12) * 255.0
+        feats.append(np.round(f))
+    return np.concatenate(feats, axis=1).reshape(s, s, -1)
+
+
+def _pair_swap_pass(F: np.ndarray, P: np.ndarray, offset: int):
+    """One even-odd transposition sweep along rows (the PNG scan axis).
+
+    Considers disjoint adjacent column pairs (`ja`/`ja+1`, every row
+    independently) and swaps a pair when that lowers the summed L1 byte
+    distance to its *external* row neighbors (the internal pair bond is
+    swap-invariant). F (quantized features) and P (permutation) are
+    updated in place.
+    """
+    s = F.shape[1]
+    n_pairs = (s - offset) // 2
+    if n_pairs <= 0:
+        return
+    ja = offset + 2 * np.arange(n_pairs)
+    a, b = F[:, ja], F[:, ja + 1]  # [s, n_pairs, C]
+
+    cost_now = np.zeros((F.shape[0], n_pairs), np.float32)
+    cost_sw = np.zeros_like(cost_now)
+    m = ja > 0  # has an external neighbor before the pair
+    cost_now[:, m] += np.abs(a[:, m] - F[:, ja[m] - 1]).sum(-1)
+    cost_sw[:, m] += np.abs(b[:, m] - F[:, ja[m] - 1]).sum(-1)
+    m = (ja + 2) < s  # has an external neighbor after the pair
+    cost_now[:, m] += np.abs(b[:, m] - F[:, ja[m] + 2]).sum(-1)
+    cost_sw[:, m] += np.abs(a[:, m] - F[:, ja[m] + 2]).sum(-1)
+
+    upd = cost_sw < cost_now  # [s, n_pairs] per-cell swap decision
+    F[:, ja] = np.where(upd[..., None], b, a)
+    F[:, ja + 1] = np.where(upd[..., None], a, b)
+    pa, pb = P[:, ja].copy(), P[:, ja + 1].copy()
+    P[:, ja] = np.where(upd, pb, pa)
+    P[:, ja + 1] = np.where(upd, pa, pb)
+
+
+def sort_splats(
+    splats: Dict[str, np.ndarray],
+    n_sidelen: Optional[int] = None,
+    refine_iters: int = 8,
+) -> Dict[str, np.ndarray]:
+    """Reorder splats for 2-D grid compression (PLAS approximation)."""
     means = splats["means"]
+    n = means.shape[0]
     lo = means.min(axis=0)
     hi = means.max(axis=0)
     q = ((means - lo) / np.maximum(hi - lo, 1e-12) * (2**16 - 1)).astype(
         np.uint32
     )
     order = np.argsort(_morton3(q))
-    return {k: v[order] for k, v in splats.items()}
+
+    if n_sidelen is None or n_sidelen * n_sidelen != n:
+        return {k: v[order] for k, v in splats.items()}
+    s = n_sidelen
+
+    # serpentine placement: reverse every other row so consecutive Morton
+    # neighbors stay adjacent across row boundaries
+    grid_pos = np.arange(n).reshape(s, s)
+    grid_pos[1::2] = grid_pos[1::2, ::-1].copy()
+    P = np.empty((s, s), np.int64)
+    P.reshape(-1)[:] = order[grid_pos.reshape(-1)]
+
+    if refine_iters > 0:
+        base = {k: v[P.reshape(-1)] for k, v in splats.items()}
+        F = _feature_grid(base, s)
+        P2 = np.arange(n).reshape(s, s)
+        for it in range(refine_iters):
+            _pair_swap_pass(F, P2, offset=it % 2)
+        return {k: v[P2.reshape(-1)] for k, v in base.items()}
+
+    final = P.reshape(-1)
+    return {k: v[final] for k, v in splats.items()}

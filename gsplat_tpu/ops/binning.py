@@ -112,20 +112,24 @@ def _emit_kernel(
         # rank: src[s] = (# prefix <= s) - 1 (prefix ascending; counts and
         # slots < 2^24 so every f32 value here is integer-exact)
         cmp = (attrs[3:4, :].T <= s).astype(jnp.float32)  # [GB, SB]
+        # 0/1 inputs are bf16-exact and the MXU accumulates in f32, so
+        # DEFAULT precision gives exact integer counts at 1/6 the passes
         rank = (
             jax.lax.dot_general(
                 ones, cmp, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
             )
             - 1.0
         )  # [1, SB]
         ranki = rank.astype(jnp.int32)
         onehot = (git == ranki).astype(jnp.float32)  # [GB, SB]
+        # selection stays bit-exact at (HIGHEST, DEFAULT): the lhs bf16x3
+        # split holds all 24 attr mantissa bits while the one-hot rhs is
+        # bf16-exact — 3 MXU passes instead of 6
         sel = jax.lax.dot_general(
             attrs, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT),
         )  # [A, SB] bit-exact selection
         tminx, tminy, rw = sel[0:1], sel[1:2], sel[2:3]
         spre = sel[3:4]
@@ -205,7 +209,7 @@ def _emit_kernel(
     jax.lax.fori_loop(0, nchunk, chunk_body, 0)
 
 
-def bin_gaussians(
+def emit_entries(
     mean_x, mean_y,  # [C, N] f32
     con_a, con_b, con_c,  # [C, N]
     opacities,  # [C, N]
@@ -217,11 +221,10 @@ def bin_gaussians(
     tile_height: int,
     capacity: int,
     cull: bool = True,
-) -> Binned:
-    """Emit + sort the per-entry stream. ``capacity`` is the slab budget
-    (aligned emission slots, >= n_isects + SB-rounding waste); the returned
-    ``slab_required`` is the exact budget needed — feed it back like
-    ``n_isects`` for the out-of-jit capacity decision."""
+):
+    """Pallas emit stage: per-entry rows, unsorted. Returns
+    ``(ops, slab_required)`` where ``ops = (tile_key, d_key, gid,
+    *feature_rows)`` ready for :func:`sort_entries`."""
     C, N = mean_x.shape
     n_tiles = tile_width * tile_height
     T = C * n_tiles
@@ -236,14 +239,40 @@ def bin_gaussians(
     mx, my = fin(mean_x), fin(mean_y)
     dep = fin(depths)
 
-    tile_r = radii / tile_size
-    tminx = jnp.clip(jnp.floor(mx / tile_size - tile_r), 0, tile_width)
-    tmaxx = jnp.clip(jnp.ceil(mx / tile_size + tile_r), 0, tile_width)
-    tminy = jnp.clip(jnp.floor(my / tile_size - tile_r), 0, tile_height)
-    tmaxy = jnp.clip(jnp.ceil(my / tile_size + tile_r), 0, tile_height)
+    if cull:
+        # Tight per-axis extent: the ellipse {0.5 x^T conic x <= tau},
+        # tau = ln(255 * op), bounds the alpha >= 1/255 region exactly, and
+        # its AABB half-widths are sqrt(2 tau * Sigma_xx/yy) with
+        # Sigma = conic^-1. Any pixel center outside the AABB fails the
+        # kernels' alpha test, so shrinking the rect to it is output-exact
+        # (same argument as the in-kernel ellipse-vs-tile cull, which still
+        # runs and removes the AABB's corner tiles). Elongated Gaussians —
+        # the common case after optimization — emit far fewer entries this
+        # way than with the circumscribed radii circle.
+        cca, ccb, ccc = fin(con_a), fin(con_b), fin(con_c)
+        det = cca * ccc - ccb * ccb
+        tau = jnp.log(jnp.clip(fin(opacities), 1e-12, None) * 255.0)
+        ok = (det > 1e-24) & (cca > 0) & (ccc > 0)
+        sdet = jnp.where(ok, det, 1.0)
+        ext_x = jnp.sqrt(jnp.clip(2.0 * tau * ccc / sdet, 0.0, None)) + 0.5
+        ext_y = jnp.sqrt(jnp.clip(2.0 * tau * cca / sdet, 0.0, None)) + 0.5
+        rad = radii.astype(jnp.float32)
+        ext_x = jnp.where(ok, jnp.minimum(ext_x, rad), rad)
+        ext_y = jnp.where(ok, jnp.minimum(ext_y, rad), rad)
+        alive = (radii > 0) & (tau > 0.0)
+    else:
+        ext_x = ext_y = radii.astype(jnp.float32)
+        alive = radii > 0
+    # same `m/ts - r/ts` form as isect_tiles so cull=False emits the
+    # bit-identical rect (tests/test_rasterize_binned.py emit parity)
+    rx, ry = ext_x / tile_size, ext_y / tile_size
+    tminx = jnp.clip(jnp.floor(mx / tile_size - rx), 0, tile_width)
+    tmaxx = jnp.clip(jnp.ceil(mx / tile_size + rx), 0, tile_width)
+    tminy = jnp.clip(jnp.floor(my / tile_size - ry), 0, tile_height)
+    tmaxy = jnp.clip(jnp.ceil(my / tile_size + ry), 0, tile_height)
     rw = (tmaxx - tminx).astype(jnp.int32)
     rh = (tmaxy - tminy).astype(jnp.int32)
-    tpg = jnp.where(radii > 0, rw * rh, 0).reshape(-1)  # [CN] i32
+    tpg = jnp.where(alive, rw * rh, 0).reshape(-1)  # [CN] i32
 
     NB = -(-CN // GB)
     CN_pad = NB * GB
@@ -334,9 +363,16 @@ def bin_gaussians(
     gid = jnp.where(is_sent, CN, keys[2].astype(jnp.int32))
 
     ops = (tile_key, d_key, gid) + tuple(feats[r] for r in range(NF))
+    return ops, slab_required
+
+
+def sort_entries(ops, T: int, slab_required=None) -> Binned:
+    """Sort the emitted per-entry rows by (tile, depth, gid) and build the
+    per-tile offset table (one payload ``lax.sort`` + a searchsorted)."""
     sorted_ops = jax.lax.sort(ops, num_keys=3, is_stable=False)
     tile_key_s, gid_s = sorted_ops[0], sorted_ops[2]
     entries = jnp.stack(sorted_ops[3:], axis=0)  # [NF, capA]
+    capA = tile_key_s.shape[0]
 
     bounds = jnp.searchsorted(
         tile_key_s, jnp.arange(T + 1, dtype=jnp.int32), side="left"
@@ -348,8 +384,11 @@ def bin_gaussians(
     # Sentinel slots sort past n_isects but hold uninitialized HBM bytes
     # (possibly NaN); the kernels' masked math still computes NaN*0 through
     # the color matmul, so zero the tail once here.
+    pos = jnp.arange(capA, dtype=jnp.int32)
     entries = jnp.where(pos[None, :] < n_isects, entries, 0.0)
 
+    if slab_required is None:
+        slab_required = n_isects
     return Binned(
         entries=entries,
         gids=gid_s[None, :],
@@ -357,4 +396,30 @@ def bin_gaussians(
         cnts=cnts,
         n_isects=n_isects,
         slab_required=slab_required,
+    )
+
+
+def bin_gaussians(
+    mean_x, mean_y,  # [C, N] f32
+    con_a, con_b, con_c,  # [C, N]
+    opacities,  # [C, N]
+    colors,  # [C, N, D]
+    radii,  # [C, N] i32
+    depths,  # [C, N] f32
+    tile_size: int,
+    tile_width: int,
+    tile_height: int,
+    capacity: int,
+    cull: bool = True,
+) -> Binned:
+    """Emit + sort the per-entry stream. ``capacity`` is the slab budget
+    (aligned emission slots, >= n_isects + SB-rounding waste); the returned
+    ``slab_required`` is the exact budget needed — feed it back like
+    ``n_isects`` for the out-of-jit capacity decision."""
+    ops, slab_required = emit_entries(
+        mean_x, mean_y, con_a, con_b, con_c, opacities, colors, radii,
+        depths, tile_size, tile_width, tile_height, capacity, cull,
+    )
+    return sort_entries(
+        ops, colors.shape[0] * tile_width * tile_height, slab_required
     )

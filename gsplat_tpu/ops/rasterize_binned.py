@@ -40,6 +40,28 @@ LOG_EPS = math.log(TRANSMITTANCE_EPS)
 LANES = 128
 
 
+def _cumprod_lanes(x, K: int, kind: str, native: bool):
+    """Cumulative product along the lane axis via log2(K) shifted
+    multiplies (the multiplicative twin of rasterize_tiled._cum_lanes).
+    Multiplicative transmittance chains match the reference CUDA kernels'
+    f32 semantics (progressive T *= (1-alpha) / T /= (1-alpha)) and cost
+    two fewer transcendentals per (pixel, entry) pair than log-space."""
+    roll = pltpu.roll if native else jnp.roll
+    kidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = x
+    shift = 1
+    if kind == "fwd_incl":  # out[k] = prod_{j<=k} x[j]
+        while shift < K:
+            s = s * jnp.where(kidx >= shift, roll(s, shift, 1), 1.0)
+            shift *= 2
+        return s
+    # rev_incl: out[k] = prod_{j>=k} x[j]
+    while shift < K:
+        s = s * jnp.where(kidx < K - shift, roll(s, K - shift, 1), 1.0)
+        shift *= 2
+    return s
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -82,6 +104,7 @@ def _fwd_kernel(
     n = cnts_ref[t]
     astart = (off // K) * K
     nb = pl.cdiv(off + n - astart, K)
+    NS = K // LANES  # 128-lane compute slices per DMA batch
 
     rem = t % (th * tw)
     ty = rem // tw
@@ -90,7 +113,7 @@ def _fwd_kernel(
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
     py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     accum_ref[...] = jnp.zeros_like(accum_ref)
 
@@ -99,7 +122,7 @@ def _fwd_kernel(
         _ecopy(entries_hbm, ebuf, esem, astart, 0, K).start()
 
     def body(carry):
-        b, logT_test, logT_out, last = carry
+        b, T_test, T_out, last = carry
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b + 1 < nb)
@@ -107,48 +130,69 @@ def _fwd_kernel(
             _ecopy(entries_hbm, ebuf, esem, astart + (b + 1) * K, 1 - slot, K).start()
 
         _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
-        e = ebuf[slot]  # [F, K]
+        eb = ebuf[slot]  # [F, K]
 
-        gx, gy = e[0:1, :], e[1:2, :]
-        ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
-        op = e[5:6, :]
-        dx = px - gx
-        dy = py - gy
-        sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-        araw = op * jnp.exp(-sig)
-        alpha = jnp.minimum(araw, ALPHA_MAX)
-        gidx = astart + b * K + kidx  # [1, K] absolute stream index
-        colmask = (gidx >= off) & (gidx < off + n)
-        valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
-        lg = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
+        acc = jnp.zeros_like(accum_ref[0])
+        # one DMA per K entries, VPU math in 128-lane slices (VMEM ceiling)
+        for s in range(NS):
+            e = eb[:, s * LANES : (s + 1) * LANES]
+            gx, gy = e[0:1, :], e[1:2, :]
+            ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
+            op = e[5:6, :]
+            dx = px - gx
+            dy = py - gy
+            sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+            araw = op * jnp.exp(-sig)
+            alpha = jnp.minimum(araw, ALPHA_MAX)
+            gidx = astart + b * K + s * LANES + kidx  # [1, 128] stream index
+            colmask = (gidx >= off) & (gidx < off + n)
+            valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+            one_m = jnp.where(valid, 1.0 - alpha, 1.0)
 
-        cum_incl = _cum_lanes(lg, K, "fwd_incl", native) + logT_test
-        accept = valid & (cum_incl > LOG_EPS)
-        w = jnp.where(accept, jnp.exp(cum_incl - lg) * alpha, 0.0)
+            # multiplicative transmittance (reference CUDA semantics:
+            # progressive T *= (1-alpha)); two transcendentals fewer per
+            # pair than the log-space chain. The exclusive product comes
+            # from a lane roll of the inclusive scan — NOT T_incl/one_m,
+            # whose division would amplify rounding by up to 1/(1-MAX)=1e3
+            Tm = _cumprod_lanes(one_m, LANES, "fwd_incl", native)
+            roll = pltpu.roll if native else jnp.roll
+            Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
+            T_excl = Tm_excl * T_test
+            T_incl = T_excl * one_m
+            accept = valid & (T_incl > TRANSMITTANCE_EPS)
+            w = jnp.where(accept, T_excl * alpha, 0.0)
 
-        accum_ref[0] += jax.lax.dot_general(
-            e[6 : 6 + Dp, :], w,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+            acc += jax.lax.dot_general(
+                e[6 : 6 + Dp, :], w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-        logT_test = logT_test + jnp.sum(lg, axis=1, keepdims=True)
-        logT_out = logT_out + jnp.sum(
-            jnp.where(accept, lg, 0.0), axis=1, keepdims=True
-        )
-        last = jnp.maximum(
-            last, jnp.max(jnp.where(accept, gidx, -1), axis=1, keepdims=True)
-        )
-        return b + 1, logT_test, logT_out, last
+            T_test = T_test * Tm[:, LANES - 1 :]
+            # product over accepted == T_incl at the LAST accepted pair
+            # (T_incl is monotone over valid pairs and valid==accepted
+            # until termination), so a min-reduce replaces reduce_prod
+            # (which Mosaic does not lower)
+            T_out = jnp.minimum(
+                T_out,
+                jnp.min(
+                    jnp.where(accept, T_incl, 1.0), axis=1, keepdims=True
+                ),
+            )
+            last = jnp.maximum(
+                last, jnp.max(jnp.where(accept, gidx, -1), axis=1, keepdims=True)
+            )
+        accum_ref[0] += acc
+        return b + 1, T_test, T_out, last
 
     def cond(carry):
-        b, logT_test, _, _ = carry
-        return (b < nb) & (jnp.max(logT_test) > LOG_EPS)
+        b, T_test, _, _ = carry
+        return (b < nb) & (jnp.max(T_test) > TRANSMITTANCE_EPS)
 
-    zero_p = jnp.zeros((P, 1), jnp.float32)
-    b_f, _, logT_out, last = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zero_p, zero_p, jnp.full((P, 1), -1, jnp.int32))
+    one_p = jnp.ones((P, 1), jnp.float32)
+    b_f, _, T_out, last = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), one_p, one_p, jnp.full((P, 1), -1, jnp.int32))
     )
 
     @pl.when(b_f < nb)
@@ -157,7 +201,8 @@ def _fwd_kernel(
             entries_hbm, ebuf, esem, astart + b_f * K, jax.lax.rem(b_f, 2), K
         ).wait()
 
-    logT_ref[0] = jnp.transpose(logT_out, (1, 0))
+    # external contract stays log-space (one log per pixel per tile)
+    logT_ref[0] = jnp.transpose(jnp.log(T_out), (1, 0))
     last_ref[0] = jnp.transpose(last, (1, 0))
 
 
@@ -198,6 +243,7 @@ def _bwd_kernel(
     n = cnts_ref[t]
     aoff = aoff_ref[t]
     astart = (off // K) * K
+    NS = K // LANES
 
     rem = t % (th * tw)
     ty = rem // tw
@@ -206,11 +252,11 @@ def _bwd_kernel(
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
     py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     last_row = last_ref[0]  # [1, P]
     last = jnp.transpose(last_row, (1, 0))  # [P, 1]
-    logT_fin = jnp.transpose(logT_ref[0], (1, 0))
+    T_fin = jnp.exp(jnp.transpose(logT_ref[0], (1, 0)))
     vlogT = jnp.transpose(vlogT_ref[0], (1, 0))
     vaccum = vaccum_ref[0]  # [Dp, P]
 
@@ -230,7 +276,7 @@ def _bwd_kernel(
         _ecopy(entries_hbm, ebuf, esem, astart + start_b * K, start_b % 2, K).start()
 
     def body(i, carry):
-        logS, ssum = carry
+        S, ssum = carry
         b = start_b - i
         slot = jax.lax.rem(b, 2)
 
@@ -239,83 +285,91 @@ def _bwd_kernel(
             _ecopy(entries_hbm, ebuf, esem, astart + (b - 1) * K, 1 - slot, K).start()
 
         _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
-        e = ebuf[slot]
-        gid = e[-1:, :].astype(jnp.int32)  # [1, K] exact (< 2^24)
-
-        gx, gy = e[0:1, :], e[1:2, :]
-        ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
-        op = e[5:6, :]
-        ecol = e[6 : 6 + Dp, :]
-        dx = px - gx
-        dy = py - gy
-        sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-        eneg = jnp.exp(-sig)
-        araw = op * eneg
-        alpha = jnp.minimum(araw, ALPHA_MAX)
-        gidx = astart + b * K + kidx
-        colmask = (gidx >= off) & (gidx < off + n)
-        valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
-        accept = valid & (gidx <= last)
-
-        lg = jnp.where(accept, jnp.log1p(-jnp.where(accept, alpha, 0.0)), 0.0)
-        logS_incl = _cum_lanes(lg, K, "rev_incl", native) + logS
-        Tk = jnp.exp(logT_fin - logS_incl)
-        w = jnp.where(accept, alpha * Tk, 0.0)
-
-        cv = jax.lax.dot_general(
-            vaccum, ecol,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        d = w * cv
-        s_excl = _cum_lanes(d, K, "rev_excl", native) + ssum
-
-        v_alpha = jnp.where(
-            accept, Tk * cv - (s_excl + vlogT) / (1.0 - alpha), 0.0
-        )
-        notclamp = araw < ALPHA_MAX
-        v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
-        v_op = jnp.sum(
-            jnp.where(notclamp, eneg * v_alpha, 0.0), axis=0, keepdims=True
-        )
-        v_ca = jnp.sum(0.5 * dx * dx * v_sig, axis=0, keepdims=True)
-        v_cb = jnp.sum(dx * dy * v_sig, axis=0, keepdims=True)
-        v_cc = jnp.sum(0.5 * dy * dy * v_sig, axis=0, keepdims=True)
-        v_gx = -jnp.sum((ca * dx + cb * dy) * v_sig, axis=0, keepdims=True)
-        v_gy = -jnp.sum((cb * dx + cc * dy) * v_sig, axis=0, keepdims=True)
-        v_col = jax.lax.dot_general(
-            vaccum, w,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:D]
-
-        rows = [
-            jnp.where(colmask, gid, jnp.int32(1 << 24)).astype(jnp.float32),
-            v_gx, v_gy, v_ca, v_cb, v_cc, v_op, v_col,
-        ]
-        if absgrad:
-            rows += [jnp.abs(v_gx), jnp.abs(v_gy)]
-        used = 7 + D + (2 if absgrad else 0)
-        if GR > used:
-            rows.append(jnp.zeros((GR - used, K), jnp.float32))
-        g = jnp.concatenate(rows, axis=0)  # [GR, K]
+        eb = ebuf[slot]
 
         @pl.when(i >= 2)
         def _():
             wcopy(b + 2, jax.lax.rem(i, 2)).wait()
-
         wslot = jax.lax.rem(i, 2)
-        wbuf[wslot] = g
-        wcopy(b, wslot).start()
 
-        logS = logS + jnp.sum(lg, axis=1, keepdims=True)
-        ssum = ssum + jnp.sum(d, axis=1, keepdims=True)
-        return logS, ssum
+        # reverse sweep: slices processed back-to-front within the batch
+        for s in reversed(range(NS)):
+            e = eb[:, s * LANES : (s + 1) * LANES]
+            gid = e[-1:, :].astype(jnp.int32)  # [1, 128] exact (< 2^24)
+
+            gx, gy = e[0:1, :], e[1:2, :]
+            ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
+            op = e[5:6, :]
+            ecol = e[6 : 6 + Dp, :]
+            dx = px - gx
+            dy = py - gy
+            sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+            eneg = jnp.exp(-sig)
+            araw = op * eneg
+            alpha = jnp.minimum(araw, ALPHA_MAX)
+            gidx = astart + b * K + s * LANES + kidx
+            colmask = (gidx >= off) & (gidx < off + n)
+            valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+            accept = valid & (gidx <= last)
+
+            one_m = jnp.where(accept, 1.0 - alpha, 1.0)
+            # reverse multiplicative chain: S_incl = prod_{j>=k} (1-a_j);
+            # T_excl(k) = T_fin / S_incl (reference bwd's progressive
+            # T /= (1-alpha), rasterize_to_pixels_bwd.py)
+            S_incl = _cumprod_lanes(one_m, LANES, "rev_incl", native) * S
+            Tk = T_fin / S_incl
+            w = jnp.where(accept, alpha * Tk, 0.0)
+
+            cv = jax.lax.dot_general(
+                vaccum, ecol,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d = w * cv
+            s_excl = _cum_lanes(d, LANES, "rev_excl", native) + ssum
+
+            v_alpha = jnp.where(
+                accept, Tk * cv - (s_excl + vlogT) / one_m, 0.0
+            )
+            notclamp = araw < ALPHA_MAX
+            v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
+            v_op = jnp.sum(
+                jnp.where(notclamp, eneg * v_alpha, 0.0), axis=0, keepdims=True
+            )
+            v_ca = jnp.sum(0.5 * dx * dx * v_sig, axis=0, keepdims=True)
+            v_cb = jnp.sum(dx * dy * v_sig, axis=0, keepdims=True)
+            v_cc = jnp.sum(0.5 * dy * dy * v_sig, axis=0, keepdims=True)
+            v_gx = -jnp.sum((ca * dx + cb * dy) * v_sig, axis=0, keepdims=True)
+            v_gy = -jnp.sum((cb * dx + cc * dy) * v_sig, axis=0, keepdims=True)
+            v_col = jax.lax.dot_general(
+                vaccum, w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )[:D]
+
+            rows = [
+                jnp.where(colmask, gid, jnp.int32(1 << 24)).astype(jnp.float32),
+                v_gx, v_gy, v_ca, v_cb, v_cc, v_op, v_col,
+            ]
+            if absgrad:
+                rows += [jnp.abs(v_gx), jnp.abs(v_gy)]
+            used = 7 + D + (2 if absgrad else 0)
+            if GR > used:
+                rows.append(jnp.zeros((GR - used, LANES), jnp.float32))
+            wbuf[wslot, :, s * LANES : (s + 1) * LANES] = jnp.concatenate(
+                rows, axis=0
+            )
+
+            S = S_incl[:, 0:1]  # running product now includes this slice
+            ssum = ssum + jnp.sum(d, axis=1, keepdims=True)
+
+        wcopy(b, wslot).start()
+        return S, ssum
 
     zero_p = jnp.zeros((P, 1), jnp.float32)
-    jax.lax.fori_loop(0, nb_eff, body, (zero_p, zero_p))
+    jax.lax.fori_loop(0, nb_eff, body, (jnp.ones((P, 1), jnp.float32), zero_p))
 
     @pl.when(nb_eff >= 2)
     def _():
@@ -379,10 +433,11 @@ def _reduce_kernel(
         onehot = (
             ((gidT - jnp.float32(base)) == cit) & inrange
         ).astype(jnp.float32)  # [RK, RCHUNK]
+        # (HIGHEST, DEFAULT): exact — bf16x3 lhs split x bf16-exact one-hot
         acc = acc + jax.lax.dot_general(
             vg, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT),
         )
         return acc
 
@@ -433,7 +488,7 @@ def _reduce_call(gid_sorted, vg_sorted, M: int, GR: int, interpret: bool):
 
 
 def _fwd_call(cfg, entries, offs, cnts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -444,12 +499,12 @@ def _fwd_call(cfg, entries, offs, cnts):
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, F, K), jnp.float32),
+            pltpu.VMEM((2, F, KF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, K=K, P=P, Dp=Dp, ts=ts, tw=tw, th=th, native=not interpret
+        _fwd_kernel, K=KF, P=P, Dp=Dp, ts=ts, tw=tw, th=th, native=not interpret
     )
     return pl.pallas_call(
         kernel,
@@ -467,7 +522,7 @@ def _fwd_call(cfg, entries, offs, cnts):
 
 
 def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT):
-    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -481,14 +536,14 @@ def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, F, K), jnp.float32),
+            pltpu.VMEM((2, F, KB), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, GR, K), jnp.float32),
+            pltpu.VMEM((2, GR, KB), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, K=K, P=P, Dp=Dp, D=D, GR=GR, ts=ts, tw=tw, th=th,
+        _bwd_kernel, K=KB, P=P, Dp=Dp, D=D, GR=GR, ts=ts, tw=tw, th=th,
         native=not interpret, absgrad=absgrad,
     )
     # pre-zeroed (gid row = sentinel) so unprocessed aligned slots reduce
@@ -520,7 +575,7 @@ def _raster_binned(cfg, packed, absc, radii, depths):
 
 
 def _bin_from_packed(cfg, packed, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
     rs = lambda r: packed[r].reshape(C, N)
     colors = jnp.stack([rs(6 + d) for d in range(D)], axis=-1)
     return bin_gaussians(
@@ -530,7 +585,7 @@ def _bin_from_packed(cfg, packed, radii, depths):
 
 
 def _raster_binned_fwd(cfg, packed, absc, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
     binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
     NF = binned.entries.shape[0]
     # row F-1 carries the entry's gid as an exact f32 (< 2^24) for the
@@ -549,19 +604,27 @@ def _raster_binned_fwd(cfg, packed, absc, radii, depths):
 
 
 def _raster_binned_bwd(cfg, res, cts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, K, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
     entries, offs, cnts, logT, last = res
     v_accum, v_logT, _, _ = cts
-    acnt = ((cnts + K - 1) // K + 1) * K  # +K: astart may precede offs
+    acnt = ((cnts + KB - 1) // KB + 1) * KB  # +KB: astart may precede offs
     aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
-    capA2 = _round_up(capA + 2 * K * T, LANES)
+    capA2 = _round_up(capA + 2 * KB * T, LANES)
     vgr = _bwd_call(
         cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT
     )
-    ops = (vgr[0].astype(jnp.int32),) + tuple(vgr[1:GR])
+    # sort only the populated rows (GR is 8-rounded; pads are zeros)
+    used = 7 + D + (2 if absgrad else 0)
+    ops = (vgr[0].astype(jnp.int32),) + tuple(vgr[1:used])
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    vg_s = jnp.stack(
-        (sorted_ops[0].astype(jnp.float32),) + sorted_ops[1:], axis=0
+    vg_s = jnp.concatenate(
+        [
+            jnp.stack(
+                (sorted_ops[0].astype(jnp.float32),) + sorted_ops[1:], axis=0
+            ),
+            jnp.zeros((GR - used, capA2), jnp.float32),
+        ],
+        axis=0,
     )  # [GR, capA2], row 0 = gid
     red = _reduce_call(
         sorted_ops[0], vg_s, M=C * N, GR=GR, interpret=interpret
@@ -601,7 +664,8 @@ def rasterize_to_pixels_binned(
     backgrounds: Optional[jax.Array] = None,  # [C, D]
     abs_carrier: Optional[Tuple[jax.Array, jax.Array]] = None,
     cull: bool = True,
-    batch_size: int = LANES,
+    batch_size: int = 4 * LANES,
+    bwd_batch_size: int = 2 * LANES,
 ):
     """Rasterize via the binning engine (emit -> payload sort -> kernels).
 
@@ -626,8 +690,8 @@ def rasterize_to_pixels_binned(
     P = ts * ts
     Dp = _round_up(D, 8)
     F = _round_up(6 + Dp, 8)
-    K = batch_size
-    assert K % LANES == 0
+    KF, KB = batch_size, bwd_batch_size
+    assert KF % LANES == 0 and KB % LANES == 0
     GR = _round_up(1 + 6 + D + (2 if abs_carrier is not None else 0), 8)
 
     rows = [
@@ -646,7 +710,7 @@ def rasterize_to_pixels_binned(
         absc = jnp.zeros((2, C * N), jnp.float32)
 
     cfg = (
-        C, N, T, th, tw, ts, P, D, Dp, F, K,
+        C, N, T, th, tw, ts, P, D, Dp, F, KF, KB,
         _round_up(capacity, 512), GR, _interpret(),
         abs_carrier is not None, cull,
     )

@@ -60,9 +60,9 @@ def bench_case(args, width, height, scene_grid):
 
     backend = args.backend
     if backend == "auto":
-        backend = "tiled" if jax.default_backend() == "tpu" else "oracle"
+        backend = "binned" if jax.default_backend() == "tpu" else "oracle"
     isect_capacity = None
-    if backend == "tiled":
+    if backend in ("tiled", "binned"):
         soa = jax.jit(
             lambda m, q, s: fully_fused_projection_soa(
                 m, q, s, ins[5], ins[6], width, height
@@ -70,11 +70,25 @@ def bench_case(args, width, height, scene_grid):
         )(ins[0], ins[1], ins[2])
         ts = 32
         tw, th = -(-width // ts), -(-height // ts)
-        probe = isect_tiles(
-            (soa["mean_x"], soa["mean_y"]), soa["radii"], soa["depth"],
-            ts, tw, th, capacity=8,
-        )
-        isect_capacity = suggest_capacity(int(probe.n_isects))
+        if backend == "binned":
+            from gsplat_tpu.ops.binning import bin_gaussians
+
+            Cn, Nn = soa["mean_x"].shape
+            probe = bin_gaussians(
+                soa["mean_x"], soa["mean_y"], soa["conic_a"],
+                soa["conic_b"], soa["conic_c"],
+                jnp.broadcast_to(ins[3][None], (Cn, Nn)),
+                jnp.broadcast_to(ins[4][None], (Cn, Nn, 3)),
+                soa["radii"], soa["depth"], ts, tw, th,
+                capacity=512, cull=True,
+            )
+            isect_capacity = int(probe.slab_required) + 1024
+        else:
+            probe = isect_tiles(
+                (soa["mean_x"], soa["mean_y"]), soa["radii"], soa["depth"],
+                ts, tw, th, capacity=8,
+            )
+            isect_capacity = suggest_capacity(int(probe.n_isects))
 
     def render(means, quats, scales, opacities, colors, viewmats, Ks):
         out, alphas, _ = rasterization(
@@ -102,6 +116,18 @@ def bench_case(args, width, height, scene_grid):
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / iters
 
+    if args.trace:
+        # XLA op-level trace, TensorBoard-loadable (reference profiling
+        # relies on nsys/torch.profiler; jax.profiler is the TPU-native
+        # equivalent). Some remote-execution setups can't host the
+        # profiler - degrade gracefully.
+        try:
+            with jax.profiler.trace(args.trace):
+                measure(bwd, 2)
+            print(f"trace written to {args.trace}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"profiler trace unavailable: {e}", file=sys.stderr)
+
     t_fwd = measure(fwd, args.iters)
     t_bwd = measure(bwd, args.iters)
     mem = device_mem_gb()
@@ -125,8 +151,10 @@ def main():
     ap.add_argument("--scene-grid", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--trace", default="",
+                    help="write a jax.profiler trace to this dir")
     ap.add_argument("--backend", default="auto",
-                    choices=["auto", "tiled", "oracle"])
+                    choices=["auto", "tiled", "binned", "oracle"])
     args = ap.parse_args()
 
     rows = []

@@ -2,33 +2,52 @@
 
 Informs the binning engine's sort budget (PERF.md): can two payload sorts
 fit a 104 ms frame, or do we need a Pallas radix partition?
+
+Memoization defense: pre-stage ITERS genuinely distinct key arrays on
+device and cycle through them (adding a scalar on device proved
+insufficient — the remote layer still served cached results).
 """
-import sys, time
+import time
 import numpy as np
 import jax, jax.numpy as jnp
 
 print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
-
-def t(fn, *args, iters=5):
-    f = jax.jit(fn)
-    out = f(*args); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = f(args[0] + np.int32(i + 1), *args[1:])
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+ITERS = 4
 
 for n in (1_600_000, 2_500_000, 3_200_000):
-    key = jnp.asarray(rng.integers(0, 2040, n).astype(np.int32))
-    pay = [jnp.asarray(rng.random(n).astype(np.float32)) for _ in range(16)]
+    keys = [
+        jax.device_put(rng.integers(0, 2040, n).astype(np.int32))
+        for _ in range(ITERS + 1)
+    ]
+    deps = [
+        jax.device_put(rng.random(n).astype(np.float32))
+        for _ in range(ITERS + 1)
+    ]
+    pay = [jnp.asarray(rng.random(n).astype(np.float32)) for _ in range(15)]
+    jax.block_until_ready([keys, deps, pay])
+
+    def run(tag, fn):
+        out = fn(keys[-1], deps[-1])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            out = fn(keys[i], deps[i])
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / ITERS * 1e3
+        print(f"n={n} {tag}: {dt:7.1f} ms", flush=True)
+
     for nops, stable in ((2, False), (2, True), (10, True), (13, True), (16, True)):
-        ops = (key,) + tuple(pay[: nops - 1])
-        dt = t(lambda k, *p: jax.lax.sort((k,) + p, num_keys=1, is_stable=stable)[0], *ops)
-        print(f"n={n} ops={nops} stable={stable}: {dt:7.1f} ms", flush=True)
-    # 2-key unstable (tile, depth) like current pipeline
-    dep = jnp.asarray(rng.random(n).astype(np.float32))
-    ops = (key, dep) + tuple(pay[:11])
-    dt = t(lambda k, d, *p: jax.lax.sort((k, d) + p, num_keys=2, is_stable=False)[0], *ops)
-    print(f"n={n} ops=13 keys=2 unstable: {dt:7.1f} ms", flush=True)
+        f = jax.jit(
+            lambda k, d, _p=tuple(pay[: nops - 1]), _s=stable: jax.lax.sort(
+                (k,) + _p, num_keys=1, is_stable=_s
+            )[0]
+        )
+        run(f"ops={nops} stable={stable}", f)
+    f = jax.jit(
+        lambda k, d, _p=tuple(pay[:11]): jax.lax.sort(
+            (k, d) + _p, num_keys=2, is_stable=False
+        )[0]
+    )
+    run("ops=13 keys=2 unstable", f)
 print("DONE", flush=True)

@@ -1,17 +1,10 @@
 """Per-stage timing of the binned pipeline on the real TPU (grid5 1080p).
 
-Stages timed in isolation (each jitted separately, inputs varied per iter
-to defeat the remote-execution memoization — see PERF.md):
-  prep      XLA attr pack + slab bookkeeping inside bin_gaussians (no emit)
-  emit      the Pallas emit kernel (inside bin_gaussians, minus sort)
-  sort      the 12-operand payload sort
-  bin_all   full bin_gaussians
-  fwd_k     forward Pallas kernel on a fixed binned stream
-  fwd_all   full forward (bin + kernel)
-  bwd_k     backward Pallas kernel alone
-  gsort     the gid sort (GR operands at capA2)
-  reduce    the one-hot matmul reduce
-  full      fwd+bwd end-to-end (same as check_binned_tpu bench)
+Times CUMULATIVE PREFIXES of the production pipeline (emit -> bin ->
+fwd kernel -> bwd kernel -> gid sort -> full grad), every prefix taking
+the identical [C, N] SoA args and returning scalars; successive deltas
+are the stage costs. See the measurement-rules comment below for why
+isolated stage timings lie through the remote-execution tunnel.
 """
 import os, sys, time, functools
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -74,107 +67,108 @@ def timeit(name, fn, *args, vary=0):
     return out, dt
 
 
-# Measurement rules (hard-won):
-#  - every timed fn takes its arrays as EXPLICIT ARGS (closure-captured
-#    device arrays bake into the executable as constants)
-#  - every timed fn returns SCALARS only (multi-MB outputs pay tunnel
-#    transfer under the remote execution layer)
+# Measurement rules (hard-won, see PERF.md):
+#  - isolated per-stage timing through the axon tunnel is UNRELIABLE
+#    (arg upload/layout effects gave a "sort" that cost 12 ms in one
+#    harness and 400 ms in another). Time CUMULATIVE PREFIXES of the
+#    production pipeline instead — identical [C,N] SoA args for every
+#    prefix, scalar outputs — and difference successive rows.
+#  - closure-captured device arrays bake into executables as constants
+#  - multi-MB outputs pay tunnel transfer; return scalars
 #  - vary one input per iteration (dispatch memoization)
+
+T = C * th * tw
+D = 3
+Dp = RB._round_up(D, 8)
+F = RB._round_up(6 + Dp, 8)
+GR = RB._round_up(1 + 6 + D, 8)
+capA = RB._round_up(cap, 512)
+Kf, Kb = 512, 256
+P = ts * ts
+cfg = (C, N, T, th, tw, ts, P, D, Dp, F, Kf, Kb, capA, GR,
+       False, False, True)
+
 
 def tsum(x):
     return sum(jnp.sum(l) for l in jax.tree.leaves(x))
 
 
-T = C * th * tw
-
-# --- bin_gaussians + substages ---
 bin_kw = dict(tile_size=ts, tile_width=tw, tile_height=th,
               capacity=cap, cull=True)
-binned = jax.jit(functools.partial(B.bin_gaussians, **bin_kw))(
-    mx, my, ca, cb, cc, opc, cols, radii, depths)
-jax.block_until_ready(binned)
+ARGS = (mx, my, ca, cb, cc, opc, cols, radii, depths)
 
-timeit("bin_all", lambda x, *r: tsum(
-    B.bin_gaussians(x, *r, **bin_kw)[:2]),
-    mx, my, ca, cb, cc, opc, cols, radii, depths)
 
-emitted, slab_req = jax.jit(functools.partial(B.emit_entries, **bin_kw))(
-    mx, my, ca, cb, cc, opc, cols, radii, depths)
-jax.block_until_ready(emitted)
+def p_emit(x, *r):
+    ops, slab = B.emit_entries(x, *r, **bin_kw)
+    return tsum(ops[:3]) + slab
 
-timeit("emit", lambda x, *r: tsum(
-    B.emit_entries(x, *r, **bin_kw)[0][:3]),
-    mx, my, ca, cb, cc, opc, cols, radii, depths)
 
-timeit("sortoffs", lambda *ops: tsum(B.sort_entries(ops, T)[:2]), *emitted)
+def p_bin(x, *r):
+    b = B.bin_gaussians(x, *r, **bin_kw)
+    return tsum((b.entries[0], b.offs, b.n_isects))
 
-# --- forward kernel alone ---
-D = 3
-Dp = RB._round_up(D, 8)
-F = RB._round_up(6 + Dp, 8)
-Kf, Kb = 512, 256
-P = ts * ts
-GR = RB._round_up(1 + 6 + D, 8)
-capA = binned.entries.shape[1]
-NFr = binned.entries.shape[0]
-cfg = (C, N, T, th, tw, ts, P, D, Dp, F, Kf, Kb, RB._round_up(cap, 512), GR,
-       False, False, True)
-entries_full = jnp.concatenate([
-    binned.entries,
-    jnp.zeros((F - NFr - 1, capA), jnp.float32),
-    binned.gids.astype(jnp.float32),
-], axis=0)
 
-timeit("fwd_k", lambda e, o, c: tsum(RB._fwd_call(cfg, e, o, c)[:2]),
-       entries_full, binned.offs, binned.cnts)
-accum, logT, last = jax.jit(
-    lambda e, o, c: RB._fwd_call(cfg, e, o, c)
-)(entries_full, binned.offs, binned.cnts)
-jax.block_until_ready((accum, logT, last))
+def _entries_of(b):
+    return jnp.concatenate([
+        b.entries,
+        jnp.zeros((F - b.entries.shape[0] - 1, capA), jnp.float32),
+        b.gids.astype(jnp.float32),
+    ], axis=0)
 
-# --- backward kernel alone ---
-cnts = binned.cnts
-acnt = ((cnts + Kb - 1) // Kb + 1) * Kb
-aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
-capA2 = RB._round_up(capA + 2 * Kb * T, 128)
-v_accum = jnp.ones((T, Dp, P), jnp.float32)
-v_logT = jnp.ones((T, 1, P), jnp.float32)
 
-bwd_args = (entries_full, binned.offs, cnts, aoff, logT, last, v_accum, v_logT)
-timeit("bwd_k", lambda e, o, c, a, lt, la, va, vl: tsum(
-    RB._bwd_call(cfg, e, o, c, a, capA2, lt, la, va, vl)), *bwd_args)
-vgr = jax.jit(lambda e, o, c, a, lt, la, va, vl: RB._bwd_call(
-    cfg, e, o, c, a, capA2, lt, la, va, vl))(*bwd_args)
-jax.block_until_ready(vgr)
+def p_fwd(x, *r):
+    b = B.bin_gaussians(x, *r, **bin_kw)
+    accum, logT, last = RB._fwd_call(cfg, _entries_of(b), b.offs, b.cnts)
+    return tsum((accum, logT)) + jnp.sum(last)
 
-# --- gid sort (used operands at capA2) ---
-U = 7 + D
 
-def gsort(v):
-    ops = (v[0].astype(jnp.int32),) + tuple(v[1:U])
+def p_fwd_bwdk(x, *r):
+    b = B.bin_gaussians(x, *r, **bin_kw)
+    entries = _entries_of(b)
+    accum, logT, last = RB._fwd_call(cfg, entries, b.offs, b.cnts)
+    acnt = ((b.cnts + Kb - 1) // Kb + 1) * Kb
+    aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
+    capA2 = RB._round_up(capA + 2 * Kb * T, 128)
+    v_accum = jnp.cos(accum)
+    v_logT = jnp.sin(logT)
+    vgr = RB._bwd_call(cfg, entries, b.offs, b.cnts, aoff, capA2, logT,
+                       last, v_accum, v_logT)
+    return tsum(vgr[:2])
+
+
+def p_fwd_bwdk_gsort(x, *r):
+    b = B.bin_gaussians(x, *r, **bin_kw)
+    entries = _entries_of(b)
+    accum, logT, last = RB._fwd_call(cfg, entries, b.offs, b.cnts)
+    acnt = ((b.cnts + Kb - 1) // Kb + 1) * Kb
+    aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
+    capA2 = RB._round_up(capA + 2 * Kb * T, 128)
+    vgr = RB._bwd_call(cfg, entries, b.offs, b.cnts, aoff, capA2, logT,
+                       last, jnp.cos(accum), jnp.sin(logT))
+    U = 7 + D
+    ops = (vgr[0].astype(jnp.int32),) + tuple(vgr[1:U])
     s_ = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    return jnp.concatenate(
-        [jnp.stack((s_[0].astype(jnp.float32),) + s_[1:], axis=0),
-         jnp.zeros((GR - U, capA2), jnp.float32)], axis=0)
+    return tsum(s_[:2])
 
-timeit("gsort", lambda v: tsum(gsort(v)), vgr)
-vg_s = jax.jit(gsort)(vgr)
-jax.block_until_ready(vg_s)
 
-# --- reduce ---
-timeit("reduce", lambda v: tsum(RB._reduce_call(
-    v[0].astype(jnp.int32), v, M=C * N, GR=GR, interpret=False)), vg_s)
+def p_full(x, *r):
+    def loss(x, y, c3, col, op):
+        rr, a, _ = RB.rasterize_to_pixels_binned(
+            (x, y), c3, col, op, r[6], r[7],
+            width, height, ts, capacity=cap, cull=True)
+        return jnp.sum(rr) + jnp.sum(a)
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        x, r[0], (r[1], r[2], r[3]), r[5], r[4])
+    return tsum(g)
 
-# --- full fwd+bwd ---
-def loss(m2d_x, m2d_y, c3, col, op, rad, dep):
-    r, a, _ = RB.rasterize_to_pixels_binned(
-        (m2d_x, m2d_y), c3, col, op, rad, dep,
-        width, height, ts, capacity=cap, cull=True)
-    return jnp.sum(r) + jnp.sum(a)
 
-timeit(
-    "full",
-    lambda x, *rest: tsum(jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, *rest)),
-    mx, my, (ca, cb, cc), cols, opc, radii, depths,
-)
+prev = 0.0
+for name, fn in (
+    ("emit", p_emit), ("bin", p_bin), ("fwd", p_fwd),
+    ("fwd+bwdk", p_fwd_bwdk), ("+gsort", p_fwd_bwdk_gsort),
+    ("full", p_full),
+):
+    _, dt = timeit(f"cum_{name}", fn, *ARGS)
+    print(f"    delta {name}: {dt - prev:8.1f} ms", flush=True)
+    prev = dt
 print("DONE", flush=True)

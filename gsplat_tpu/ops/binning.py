@@ -123,13 +123,12 @@ def _emit_kernel(
         )  # [1, SB]
         ranki = rank.astype(jnp.int32)
         onehot = (git == ranki).astype(jnp.float32)  # [GB, SB]
-        # selection stays bit-exact at (HIGHEST, DEFAULT): the lhs bf16x3
-        # split holds all 24 attr mantissa bits while the one-hot rhs is
-        # bf16-exact — 3 MXU passes instead of 6
+        # (HIGHEST, DEFAULT) would suffice mathematically (one-hot rhs is
+        # bf16-exact) but Mosaic rejects per-operand precision; HIGHEST it is
         sel = jax.lax.dot_general(
             attrs, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT),
+            precision=jax.lax.Precision.HIGHEST,
         )  # [A, SB] bit-exact selection
         tminx, tminy, rw = sel[0:1], sel[1:2], sel[2:3]
         spre = sel[3:4]

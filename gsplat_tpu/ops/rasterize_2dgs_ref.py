@@ -106,17 +106,20 @@ def rasterize_to_pixels_2dgs_ref(
         & in_rect
     )
 
-    log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
-    logT_incl = jnp.cumsum(log1m, axis=-1)
-    accept = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
-    T_excl = jnp.exp(logT_incl - log1m)  # transmittance before each gaussian
+    # multiplicative chain (see rasterize_ref.py: reference semantics)
+    one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+    T_incl = jnp.cumprod(one_m, axis=-1)
+    accept = valid & (T_incl > TRANSMITTANCE_EPS)
+    T_excl = jnp.concatenate(
+        [jnp.ones_like(T_incl[..., :1]), T_incl[..., :-1]], axis=-1
+    )  # transmittance before each gaussian
     vis = jnp.where(accept, T_excl * alpha, 0.0)  # [C, P, N]
 
     hp = jax.lax.Precision.HIGHEST
     render = jnp.einsum("cpn,cnd->cpd", vis, colors, precision=hp)
     render_normals = jnp.einsum("cpn,cnd->cpd", vis, normals, precision=hp)
-    final_logT = jnp.sum(jnp.where(accept, log1m, 0.0), axis=-1)
-    render_alphas = 1.0 - jnp.exp(final_logT)
+    final_T = jnp.prod(jnp.where(accept, one_m, 1.0), axis=-1)
+    render_alphas = 1.0 - final_T
 
     # distortion (streaming pairwise, depth = last color channel)
     m = colors[..., -1]  # [C, N]
@@ -226,8 +229,8 @@ def rasterize_to_indices_in_range_2dgs(
         (alpha >= ALPHA_MIN) & (sigma >= 0.0) & (radii[:, None, :] > 0) & in_rect
     )
     T0 = transmittances.reshape(C, -1)[..., None]
-    log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
-    logT_incl = jnp.log(jnp.clip(T0, 1e-12, None)) + jnp.cumsum(log1m, axis=-1)
-    contrib = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
-    new_T = T0[..., 0] * jnp.exp(jnp.sum(log1m, axis=-1))
+    one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+    T_incl = T0 * jnp.cumprod(one_m, axis=-1)
+    contrib = valid & (T_incl > TRANSMITTANCE_EPS)
+    new_T = T0[..., 0] * jnp.prod(one_m, axis=-1)
     return contrib, alpha, sel, new_T

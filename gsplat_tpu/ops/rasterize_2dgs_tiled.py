@@ -45,6 +45,7 @@ from .rasterize_ref import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_EPS
 from .rasterize_tiled import (
     LANES,
     _cum_lanes,
+    _cumprod_lanes,
     _entry_copy,
     _interpret,
     _round_up,
@@ -112,7 +113,7 @@ def _fwd_kernel(
         _entry_copy(entries_hbm, ebuf, esem, off, 0, 0, K).start()
 
     def body(carry):
-        b, logT_test, logT_out, last, dist, wsum, wmsum, med = carry
+        b, T_test, T_out, last, dist, wsum, wmsum, med = carry
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b + 1 < nb)
@@ -127,10 +128,15 @@ def _fwd_kernel(
         alpha = jnp.minimum(araw, ALPHA_MAX)
         colmask = (b * K + kidx) < n
         valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
-        lg = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
-        cum_incl = _cum_lanes(lg, K, "fwd_incl", native) + logT_test
-        accept = valid & (cum_incl > LOG_EPS)
-        w = jnp.where(accept, jnp.exp(cum_incl - lg) * alpha, 0.0)  # [P, K]
+        one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+        # multiplicative transmittance chain (see rasterize_binned._fwd_kernel)
+        Tm = _cumprod_lanes(one_m, K, "fwd_incl", native)
+        roll = pltpu.roll if native else jnp.roll
+        Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
+        T_excl = Tm_excl * T_test
+        T_incl = T_excl * one_m
+        accept = valid & (T_incl > TRANSMITTANCE_EPS)
+        w = jnp.where(accept, T_excl * alpha, 0.0)  # [P, K]
 
         accum_ref[0] += jax.lax.dot_general(
             e[NFIX : NFIX + Lp, :], w,
@@ -147,9 +153,8 @@ def _fwd_kernel(
         dist = dist + jnp.sum(
             2.0 * (wm * w_pref - w * wm_pref), axis=1, keepdims=True
         )
-        # median: last gaussian whose T-before > 0.5 (T_excl = exp(cum-lg))
-        Texc = jnp.exp(cum_incl - lg)
-        hit = accept & (Texc > 0.5)
+        # median: last gaussian whose T-before > 0.5
+        hit = accept & (T_excl > 0.5)
         med = jnp.where(
             jnp.any(hit, axis=1, keepdims=True),
             jnp.sum(
@@ -165,32 +170,38 @@ def _fwd_kernel(
             med,
         )
 
-        logT_test = logT_test + jnp.sum(lg, axis=1, keepdims=True)
-        logT_out = logT_out + jnp.sum(jnp.where(accept, lg, 0.0), axis=1, keepdims=True)
+        T_test = T_test * Tm[:, K - 1 :]
+        # accepted-product == min accepted T_incl (monotone chain; Mosaic
+        # has no reduce_prod)
+        T_out = jnp.minimum(
+            T_out,
+            jnp.min(jnp.where(accept, T_incl, 1.0), axis=1, keepdims=True),
+        )
         idx = b * K + kidx
         last = jnp.maximum(
             last, jnp.max(jnp.where(accept, idx, -1), axis=1, keepdims=True)
         )
         wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
         wmsum = wmsum + jnp.sum(wm, axis=1, keepdims=True)
-        return b + 1, logT_test, logT_out, last, dist, wsum, wmsum, med
+        return b + 1, T_test, T_out, last, dist, wsum, wmsum, med
 
     def cond(carry):
-        b, logT_test = carry[0], carry[1]
-        return (b < nb) & (jnp.max(logT_test) > LOG_EPS)
+        b, T_test = carry[0], carry[1]
+        return (b < nb) & (jnp.max(T_test) > TRANSMITTANCE_EPS)
 
     zp = jnp.zeros((P, 1), jnp.float32)
+    onep = jnp.ones((P, 1), jnp.float32)
     out = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), zp, zp, jnp.full((P, 1), -1, jnp.int32), zp, zp, zp, zp),
+        (jnp.int32(0), onep, onep, jnp.full((P, 1), -1, jnp.int32), zp, zp, zp, zp),
     )
-    b_f, _, logT_out, last, dist, _, _, med = out
+    b_f, _, T_out, last, dist, _, _, med = out
 
     @pl.when(b_f < nb)
     def _():
         _entry_copy(entries_hbm, ebuf, esem, off, b_f, jax.lax.rem(b_f, 2), K).wait()
 
-    logT_ref[0] = jnp.transpose(logT_out, (1, 0))
+    logT_ref[0] = jnp.transpose(jnp.log(T_out), (1, 0))
     last_ref[0] = jnp.transpose(last, (1, 0))
     dist_ref[0] = jnp.transpose(dist, (1, 0))
     med_ref[0] = jnp.transpose(med, (1, 0))
@@ -229,12 +240,12 @@ def _bwd_kernel(
 
     last_row = last_ref[0]
     last = jnp.transpose(last_row, (1, 0))  # [P, 1]
-    logT_fin = jnp.transpose(logT_ref[0], (1, 0))
+    T_fin = jnp.exp(jnp.transpose(logT_ref[0], (1, 0)))
     vlogT = jnp.transpose(vlogT_ref[0], (1, 0))
     vdist = jnp.transpose(vdist_ref[0], (1, 0))
     wm_tot = jnp.transpose(wmtot_ref[0], (1, 0))
     vaccum = vaccum_ref[0]  # [Lp, P]
-    w_tot = 1.0 - jnp.exp(logT_fin)  # [P, 1]
+    w_tot = 1.0 - T_fin  # [P, 1]
 
     last_max = jnp.max(last_row)
     start_b = last_max // K
@@ -251,8 +262,8 @@ def _bwd_kernel(
         _entry_copy(entries_hbm, ebuf, esem, off, start_b, start_b % 2, K).start()
 
     def body(i, carry):
-        # suffix carries: accepted log(1-a); w*G; w; w*m
-        logS, sG, sW, sWM = carry
+        # suffix carries: accepted (1-a) product; w*G; w; w*m
+        S, sG, sW, sWM = carry
         b = start_b - i
         slot = jax.lax.rem(b, 2)
 
@@ -272,9 +283,9 @@ def _bwd_kernel(
         valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
         accept = valid & ((b * K + kidx) <= last)
 
-        lg = jnp.where(accept, jnp.log1p(-jnp.where(accept, alpha, 0.0)), 0.0)
-        logS_incl = _cum_lanes(lg, K, "rev_incl", native) + logS
-        Tk = jnp.exp(logT_fin - logS_incl)
+        one_m = jnp.where(accept, 1.0 - alpha, 1.0)
+        S_incl = _cumprod_lanes(one_m, K, "rev_incl", native) * S
+        Tk = T_fin / S_incl
         w = jnp.where(accept, alpha * Tk, 0.0)
 
         # dL/dw_k: linear features + distortion
@@ -298,7 +309,7 @@ def _bwd_kernel(
         S_excl = _cum_lanes(d, K, "rev_excl", native) + sG
 
         v_alpha = jnp.where(
-            accept, Tk * G - (S_excl + vlogT) / (1.0 - alpha), 0.0
+            accept, Tk * G - (S_excl + vlogT) / one_m, 0.0
         )
         notclamp = araw < ALPHA_MAX
         v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
@@ -366,14 +377,16 @@ def _bwd_kernel(
         wbuf[wslot] = g
         wcopy(b, wslot).start()
 
-        logS = logS + jnp.sum(lg, axis=1, keepdims=True)
+        S = S_incl[:, 0:1]
         sG = sG + jnp.sum(d, axis=1, keepdims=True)
         sW = sW + jnp.sum(w, axis=1, keepdims=True)
         sWM = sWM + jnp.sum(wm, axis=1, keepdims=True)
-        return logS, sG, sW, sWM
+        return S, sG, sW, sWM
 
     zp = jnp.zeros((P, 1), jnp.float32)
-    jax.lax.fori_loop(0, nb_eff, body, (zp, zp, zp, zp))
+    jax.lax.fori_loop(
+        0, nb_eff, body, (jnp.ones((P, 1), jnp.float32), zp, zp, zp)
+    )
 
     @pl.when(nb_eff >= 2)
     def _():

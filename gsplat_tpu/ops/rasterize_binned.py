@@ -34,32 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import Binned, bin_gaussians
 from .rasterize_ref import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_EPS
-from .rasterize_tiled import _cum_lanes
+from .rasterize_tiled import _cum_lanes, _cumprod_lanes
 
 LOG_EPS = math.log(TRANSMITTANCE_EPS)
 LANES = 128
-
-
-def _cumprod_lanes(x, K: int, kind: str, native: bool):
-    """Cumulative product along the lane axis via log2(K) shifted
-    multiplies (the multiplicative twin of rasterize_tiled._cum_lanes).
-    Multiplicative transmittance chains match the reference CUDA kernels'
-    f32 semantics (progressive T *= (1-alpha) / T /= (1-alpha)) and cost
-    two fewer transcendentals per (pixel, entry) pair than log-space."""
-    roll = pltpu.roll if native else jnp.roll
-    kidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = x
-    shift = 1
-    if kind == "fwd_incl":  # out[k] = prod_{j<=k} x[j]
-        while shift < K:
-            s = s * jnp.where(kidx >= shift, roll(s, shift, 1), 1.0)
-            shift *= 2
-        return s
-    # rev_incl: out[k] = prod_{j>=k} x[j]
-    while shift < K:
-        s = s * jnp.where(kidx < K - shift, roll(s, K - shift, 1), 1.0)
-        shift *= 2
-    return s
 
 
 def _round_up(x: int, m: int) -> int:
@@ -433,11 +411,12 @@ def _reduce_kernel(
         onehot = (
             ((gidT - jnp.float32(base)) == cit) & inrange
         ).astype(jnp.float32)  # [RK, RCHUNK]
-        # (HIGHEST, DEFAULT): exact — bf16x3 lhs split x bf16-exact one-hot
+        # (HIGHEST, DEFAULT) would be exact here too, but Mosaic rejects
+        # per-operand precision — keep HIGHEST
         acc = acc + jax.lax.dot_general(
             vg, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT),
+            precision=jax.lax.Precision.HIGHEST,
         )
         return acc
 
@@ -665,7 +644,7 @@ def rasterize_to_pixels_binned(
     abs_carrier: Optional[Tuple[jax.Array, jax.Array]] = None,
     cull: bool = True,
     batch_size: int = 4 * LANES,
-    bwd_batch_size: int = 2 * LANES,
+    bwd_batch_size: Optional[int] = None,
 ):
     """Rasterize via the binning engine (emit -> payload sort -> kernels).
 
@@ -690,6 +669,10 @@ def rasterize_to_pixels_binned(
     P = ts * ts
     Dp = _round_up(D, 8)
     F = _round_up(6 + Dp, 8)
+    if bwd_batch_size is None:
+        # the bwd kernel's live set scales with P*KB: at P=1024 (ts=32)
+        # KB=256 overflows the 16MB scoped VMEM by ~1MB
+        bwd_batch_size = 2 * LANES if tile_size * tile_size <= 512 else LANES
     KF, KB = batch_size, bwd_batch_size
     assert KF % LANES == 0 and KB % LANES == 0
     GR = _round_up(1 + 6 + D + (2 if abs_carrier is not None else 0), 8)

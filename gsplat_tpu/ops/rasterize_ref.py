@@ -108,18 +108,25 @@ def rasterize_to_pixels_ref(
         & in_rect
     )
 
-    log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
-    logT_incl = jnp.cumsum(log1m, axis=-1)  # [C, P, N]
-    accept = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
+    # multiplicative transmittance chain — the reference CUDA kernels'
+    # own semantics (progressive T *= (1-alpha)), and what the Pallas
+    # kernels compute; a log-space chain flips accept decisions at the
+    # T ~ eps boundary by fp rounding, which is observable at ~1e-4
+    one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+    T_incl = jnp.cumprod(one_m, axis=-1)  # [C, P, N]
+    accept = valid & (T_incl > TRANSMITTANCE_EPS)
+    T_excl = jnp.concatenate(
+        [jnp.ones_like(T_incl[..., :1]), T_incl[..., :-1]], axis=-1
+    )
 
-    vis = jnp.where(accept, jnp.exp(logT_incl - log1m) * alpha, 0.0)
+    vis = jnp.where(accept, T_excl * alpha, 0.0)
     # HIGHEST: on TPU the default einsum precision is bf16, far below the
     # f32 accuracy this oracle must provide as ground truth.
     render = jnp.einsum(
         "cpn,cnd->cpd", vis, colors, precision=jax.lax.Precision.HIGHEST
     )
-    final_logT = jnp.sum(jnp.where(accept, log1m, 0.0), axis=-1)  # [C, P]
-    render_alphas = 1.0 - jnp.exp(final_logT)
+    final_T = jnp.prod(jnp.where(accept, one_m, 1.0), axis=-1)  # [C, P]
+    render_alphas = 1.0 - final_T
 
     if backgrounds is not None:
         render = render + (1.0 - render_alphas)[..., None] * backgrounds[:, None, :]
@@ -284,8 +291,8 @@ def rasterize_to_indices_in_range(
         (alpha >= ALPHA_MIN) & (sigma >= 0.0) & (radii[:, None, :] > 0) & in_rect
     )
     T0 = transmittances.reshape(C, -1)[..., None]
-    log1m = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
-    logT_incl = jnp.log(jnp.clip(T0, 1e-12, None)) + jnp.cumsum(log1m, axis=-1)
-    contrib = valid & (logT_incl > jnp.log(TRANSMITTANCE_EPS))
-    new_T = T0[..., 0] * jnp.exp(jnp.sum(log1m, axis=-1))
+    one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+    T_incl = T0 * jnp.cumprod(one_m, axis=-1)
+    contrib = valid & (T_incl > TRANSMITTANCE_EPS)
+    new_T = T0[..., 0] * jnp.prod(one_m, axis=-1)
     return contrib, alpha, sel, new_T

@@ -90,6 +90,28 @@ def _cum_lanes(x, K: int, kind: str, native: bool):
     return s
 
 
+def _cumprod_lanes(x, K: int, kind: str, native: bool):
+    """Cumulative product along the lane axis via log2(K) shifted
+    multiplies (the multiplicative twin of rasterize_tiled._cum_lanes).
+    Multiplicative transmittance chains match the reference CUDA kernels'
+    f32 semantics (progressive T *= (1-alpha) / T /= (1-alpha)) and cost
+    two fewer transcendentals per (pixel, entry) pair than log-space."""
+    roll = pltpu.roll if native else jnp.roll
+    kidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = x
+    shift = 1
+    if kind == "fwd_incl":  # out[k] = prod_{j<=k} x[j]
+        while shift < K:
+            s = s * jnp.where(kidx >= shift, roll(s, shift, 1), 1.0)
+            shift *= 2
+        return s
+    # rev_incl: out[k] = prod_{j>=k} x[j]
+    while shift < K:
+        s = s * jnp.where(kidx < K - shift, roll(s, K - shift, 1), 1.0)
+        shift *= 2
+    return s
+
+
 def _entry_copy(entries_hbm, ebuf, esem, off, b, slot, K):
     # Tile ranges are K-aligned by construction (see the wrapper), which is
     # what lets Mosaic slice the lane axis at a dynamic offset.
@@ -143,7 +165,7 @@ def _fwd_kernel(
         _entry_copy(entries_hbm, ebuf, esem, off, 0, 0, K).start()
 
     def body(carry):
-        b, logT_test, logT_out, last = carry
+        b, T_test, T_out, last = carry
         slot = jax.lax.rem(b, 2)
 
         # Speculatively prefetch the next batch (waited post-loop on exit).
@@ -164,13 +186,18 @@ def _fwd_kernel(
         alpha = jnp.minimum(araw, ALPHA_MAX)
         colmask = (b * K + kidx) < n  # [1, K]
         valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
-        lg = jnp.where(valid, jnp.log1p(-jnp.where(valid, alpha, 0.0)), 0.0)
+        one_m = jnp.where(valid, 1.0 - alpha, 1.0)
 
-        # Inclusive log-T over all valid entries (acceptance test), exclusive
-        # log-T for the compositing weight — identical to the oracle.
-        cum_incl = _cum_lanes(lg, K, "fwd_incl", native) + logT_test
-        accept = valid & (cum_incl > LOG_EPS)
-        w = jnp.where(accept, jnp.exp(cum_incl - lg) * alpha, 0.0)  # [P, K]
+        # multiplicative transmittance chain, identical to the oracle and
+        # the reference CUDA (progressive T *= (1-alpha)); exclusive
+        # product via lane roll, never division (see rasterize_binned)
+        Tm = _cumprod_lanes(one_m, K, "fwd_incl", native)
+        roll = pltpu.roll if native else jnp.roll
+        Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
+        T_excl = Tm_excl * T_test
+        T_incl = T_excl * one_m
+        accept = valid & (T_incl > TRANSMITTANCE_EPS)
+        w = jnp.where(accept, T_excl * alpha, 0.0)  # [P, K]
 
         accum_ref[0] += jax.lax.dot_general(
             e[6 : 6 + Dp, :],
@@ -180,23 +207,24 @@ def _fwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # [Dp, P]
 
-        logT_test = logT_test + jnp.sum(lg, axis=1, keepdims=True)  # [P, 1]
-        logT_out = logT_out + jnp.sum(
-            jnp.where(accept, lg, 0.0), axis=1, keepdims=True
+        T_test = T_test * Tm[:, K - 1 :]
+        T_out = jnp.minimum(
+            T_out,
+            jnp.min(jnp.where(accept, T_incl, 1.0), axis=1, keepdims=True),
         )
         idx = b * K + kidx  # [1, K]
         last = jnp.maximum(
             last, jnp.max(jnp.where(accept, idx, -1), axis=1, keepdims=True)
         )
-        return b + 1, logT_test, logT_out, last
+        return b + 1, T_test, T_out, last
 
     def cond(carry):
-        b, logT_test, _, _ = carry
-        return (b < nb) & (jnp.max(logT_test) > LOG_EPS)
+        b, T_test, _, _ = carry
+        return (b < nb) & (jnp.max(T_test) > TRANSMITTANCE_EPS)
 
-    zero_p = jnp.zeros((P, 1), jnp.float32)
-    b_f, _, logT_out, last = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zero_p, zero_p, jnp.full((P, 1), -1, jnp.int32))
+    one_p = jnp.ones((P, 1), jnp.float32)
+    b_f, _, T_out, last = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), one_p, one_p, jnp.full((P, 1), -1, jnp.int32))
     )
 
     # A speculative prefetch may still be in flight after an early exit.
@@ -206,7 +234,7 @@ def _fwd_kernel(
             entries_hbm, ebuf, esem, off, b_f, jax.lax.rem(b_f, 2), K
         ).wait()
 
-    logT_ref[0] = jnp.transpose(logT_out, (1, 0))
+    logT_ref[0] = jnp.transpose(jnp.log(T_out), (1, 0))
     last_ref[0] = jnp.transpose(last, (1, 0))
 
 
@@ -254,7 +282,7 @@ def _bwd_kernel(
 
     last_row = last_ref[0]  # [1, P]
     last = jnp.transpose(last_row, (1, 0))  # [P, 1]
-    logT_fin = jnp.transpose(logT_ref[0], (1, 0))  # [P, 1]
+    T_fin = jnp.exp(jnp.transpose(logT_ref[0], (1, 0)))  # [P, 1]
     vlogT = jnp.transpose(vlogT_ref[0], (1, 0))  # [P, 1]
     vaccum = vaccum_ref[0]  # [Dp, P]
 
@@ -275,7 +303,7 @@ def _bwd_kernel(
         _entry_copy(entries_hbm, ebuf, esem, off, start_b, start_b % 2, K).start()
 
     def body(i, carry):
-        logS, ssum = carry  # [P,1] accepted log(1-a) suffix; [P,1] w*(c.v) suffix
+        S, ssum = carry  # [P,1] accepted (1-a) suffix product; [P,1] w*(c.v) suffix
         b = start_b - i
         slot = jax.lax.rem(b, 2)
 
@@ -300,10 +328,11 @@ def _bwd_kernel(
         valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
         accept = valid & ((b * K + kidx) <= last)  # [P, K]
 
-        lg = jnp.where(accept, jnp.log1p(-jnp.where(accept, alpha, 0.0)), 0.0)
-        # T_k (exclusive) = exp(logT_final - sum_{accepted j >= k} lg_j)
-        logS_incl = _cum_lanes(lg, K, "rev_incl", native) + logS
-        Tk = jnp.exp(logT_fin - logS_incl)
+        one_m = jnp.where(accept, 1.0 - alpha, 1.0)
+        # T_k (exclusive) = T_final / prod_{accepted j >= k} (1-a_j) —
+        # the reference bwd's progressive T /= (1-alpha)
+        S_incl = _cumprod_lanes(one_m, K, "rev_incl", native) * S
+        Tk = T_fin / S_incl
         w = jnp.where(accept, alpha * Tk, 0.0)  # [P, K]
 
         cv = jax.lax.dot_general(  # (c_k . v_accum) per pixel: [P, K]
@@ -317,7 +346,7 @@ def _bwd_kernel(
         s_excl = _cum_lanes(d, K, "rev_excl", native) + ssum
 
         v_alpha = jnp.where(
-            accept, Tk * cv - (s_excl + vlogT) / (1.0 - alpha), 0.0
+            accept, Tk * cv - (s_excl + vlogT) / one_m, 0.0
         )
         notclamp = araw < ALPHA_MAX
         v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
@@ -352,12 +381,14 @@ def _bwd_kernel(
         wbuf[wslot] = g
         wcopy(b, wslot).start()
 
-        logS = logS + jnp.sum(lg, axis=1, keepdims=True)
+        S = S_incl[:, 0:1]
         ssum = ssum + jnp.sum(d, axis=1, keepdims=True)
-        return logS, ssum
+        return S, ssum
 
     zero_p = jnp.zeros((P, 1), jnp.float32)
-    jax.lax.fori_loop(0, nb_eff, body, (zero_p, zero_p))
+    jax.lax.fori_loop(
+        0, nb_eff, body, (jnp.ones((P, 1), jnp.float32), zero_p)
+    )
 
     # Drain outstanding gradient writes (iterations nb_eff-1 and nb_eff-2).
     @pl.when(nb_eff >= 2)

@@ -38,6 +38,9 @@ def _make_fake_nerfacc(torch):
     mod = types.ModuleType("nerfacc")
 
     def render_weight_from_alpha(alphas, ray_indices=None, n_rays=None):
+        # log-space segment renormalization (a GLOBAL cumprod over the
+        # packed stream underflows to exactly 0); no threshold lives here,
+        # so log vs mult cannot flip any accept decision
         log1m = torch.log1p(-alphas.clamp(max=0.9999999))
         incl = torch.cumsum(log1m, dim=0)
         excl = incl - log1m
@@ -108,10 +111,8 @@ def _make_fake_wrapper(torch):
                 alpha = (op[None, :] * torch.exp(-sigma)).clamp(max=0.999)
                 valid = (sigma >= 0.0) & (alpha >= 1.0 / 255.0)
                 t0 = transmittances[c].reshape(-1)[pid]  # [P]
-                log1m = torch.where(
-                    valid, torch.log1p(-torch.where(valid, alpha, 0.0)), 0.0
-                )
-                t_incl = t0[:, None] * torch.exp(torch.cumsum(log1m, dim=1))
+                one_m = torch.where(valid, 1.0 - alpha, torch.ones_like(alpha))
+                t_incl = t0[:, None] * torch.cumprod(one_m, dim=1)
                 accept = valid & (t_incl > 1e-4)
                 pp, ee = torch.nonzero(accept, as_tuple=True)  # pixel-major
                 gs_out.append(g[ee])

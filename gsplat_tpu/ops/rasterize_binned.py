@@ -100,7 +100,7 @@ def _fwd_kernel(
         _ecopy(entries_hbm, ebuf, esem, astart, 0, K).start()
 
     def body(carry):
-        b, T_test, T_out, last = carry
+        b, T_test, T_out_v, last_v = carry
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b + 1 < nb)
@@ -148,30 +148,31 @@ def _fwd_kernel(
             )
 
             T_test = T_test * Tm[:, LANES - 1 :]
-            # product over accepted == T_incl at the LAST accepted pair
-            # (T_incl is monotone over valid pairs and valid==accepted
-            # until termination), so a min-reduce replaces reduce_prod
-            # (which Mosaic does not lower)
-            T_out = jnp.minimum(
-                T_out,
-                jnp.min(
-                    jnp.where(accept, T_incl, 1.0), axis=1, keepdims=True
-                ),
-            )
-            last = jnp.maximum(
-                last, jnp.max(jnp.where(accept, gidx, -1), axis=1, keepdims=True)
-            )
+            # deferred reductions: accumulate LANE-WISE min/max and reduce
+            # once per tile after the loop (saves two 7-step lane reduces
+            # per slice). Product over accepted == T_incl at the LAST
+            # accepted pair (monotone chain; Mosaic has no reduce_prod).
+            T_out_v = jnp.minimum(T_out_v, jnp.where(accept, T_incl, 1.0))
+            last_v = jnp.maximum(last_v, jnp.where(accept, gidx, -1))
         accum_ref[0] += acc
-        return b + 1, T_test, T_out, last
+        return b + 1, T_test, T_out_v, last_v
 
     def cond(carry):
         b, T_test, _, _ = carry
         return (b < nb) & (jnp.max(T_test) > TRANSMITTANCE_EPS)
 
     one_p = jnp.ones((P, 1), jnp.float32)
-    b_f, _, T_out, last = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), one_p, one_p, jnp.full((P, 1), -1, jnp.int32))
+    b_f, _, T_out_v, last_v = jax.lax.while_loop(
+        cond, body,
+        (
+            jnp.int32(0),
+            one_p,
+            jnp.ones((P, LANES), jnp.float32),
+            jnp.full((P, LANES), -1, jnp.int32),
+        ),
     )
+    T_out = jnp.min(T_out_v, axis=1, keepdims=True)
+    last = jnp.max(last_v, axis=1, keepdims=True)
 
     @pl.when(b_f < nb)
     def _():

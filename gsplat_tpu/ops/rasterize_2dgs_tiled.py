@@ -185,21 +185,15 @@ def _fwd_kernel(
         wmsum = wmsum + jnp.sum(wm, axis=1, keepdims=True)
         return b + 1, T_test, T_out, last, dist, wsum, wmsum, med
 
-    def cond(carry):
-        b, T_test = carry[0], carry[1]
-        return (b < nb) & (jnp.max(T_test) > TRANSMITTANCE_EPS)
-
+    # static-trip fori, no data-dependent early exit (see
+    # exp_fwd_breakdown.py: the while_loop's scalar cond serializes)
     zp = jnp.zeros((P, 1), jnp.float32)
     onep = jnp.ones((P, 1), jnp.float32)
-    out = jax.lax.while_loop(
-        cond, body,
+    out = jax.lax.fori_loop(
+        0, nb, lambda b, c: body(c),
         (jnp.int32(0), onep, onep, jnp.full((P, 1), -1, jnp.int32), zp, zp, zp, zp),
     )
-    b_f, _, T_out, last, dist, _, _, med = out
-
-    @pl.when(b_f < nb)
-    def _():
-        _entry_copy(entries_hbm, ebuf, esem, off, b_f, jax.lax.rem(b_f, 2), K).wait()
+    _, _, T_out, last, dist, _, _, med = out
 
     logT_ref[0] = jnp.transpose(jnp.log(T_out), (1, 0))
     last_ref[0] = jnp.transpose(last, (1, 0))

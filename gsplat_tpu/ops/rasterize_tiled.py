@@ -218,21 +218,15 @@ def _fwd_kernel(
         )
         return b + 1, T_test, T_out, last
 
-    def cond(carry):
-        b, T_test, _, _ = carry
-        return (b < nb) & (jnp.max(T_test) > TRANSMITTANCE_EPS)
-
+    # static-trip fori, no data-dependent early exit: the while_loop's
+    # scalar condition serialized the batch pipeline (~3x, see
+    # exp_fwd_breakdown.py); the accept mask already zeroes terminated
+    # pixels.
     one_p = jnp.ones((P, 1), jnp.float32)
-    b_f, _, T_out, last = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), one_p, one_p, jnp.full((P, 1), -1, jnp.int32))
+    _, _, T_out, last = jax.lax.fori_loop(
+        0, nb, lambda b, c: body(c),
+        (jnp.int32(0), one_p, one_p, jnp.full((P, 1), -1, jnp.int32)),
     )
-
-    # A speculative prefetch may still be in flight after an early exit.
-    @pl.when(b_f < nb)
-    def _():
-        _entry_copy(
-            entries_hbm, ebuf, esem, off, b_f, jax.lax.rem(b_f, 2), K
-        ).wait()
 
     logT_ref[0] = jnp.transpose(jnp.log(T_out), (1, 0))
     last_ref[0] = jnp.transpose(last, (1, 0))

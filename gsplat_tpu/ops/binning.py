@@ -175,17 +175,7 @@ def _emit_kernel(
             keep = op * jnp.exp(-minq) >= ALPHA_CULL
             valid = valid & keep
 
-        # double-buffered writes: wait for the slot's previous pair before
-        # overwriting, drain the last two after the loop (a synchronous
-        # wait per chunk serializes the loop on write latency)
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c >= 2)
-        def _():
-            _wcopies(c - 2, slot)[0].wait()
-            _wcopies(c - 2, slot)[1].wait()
-
-        kbuf[slot] = jnp.concatenate(
+        kbuf[...] = jnp.concatenate(
             [
                 jnp.where(valid, tile_key, sentinel_key).astype(jnp.float32),
                 sel[4:5],  # depth (f32 value, exact)
@@ -194,42 +184,28 @@ def _emit_kernel(
             ],
             axis=0,
         )
-        nf_pad = fbuf.shape[1]
+        nf_pad = fbuf.shape[0]
         fb = sel[5 : 5 + NF, :]
         if nf_pad > NF:
             fb = jnp.concatenate(
                 [fb, jnp.zeros((nf_pad - NF, SB), jnp.float32)], axis=0
             )
-        fbuf[slot] = fb
+        fbuf[...] = fb
 
-        wk, wf = _wcopies(c, slot)
-        wk.start()
-        wf.start()
-        return 0
-
-    def _wcopies(c, slot):
         start = pl.multiple_of(soff + c * SB, LANES)
         wk = pltpu.make_async_copy(
-            kbuf.at[slot], keys_hbm.at[:, pl.ds(start, SB)], wsem.at[slot, 0]
+            kbuf, keys_hbm.at[:, pl.ds(start, SB)], wsem.at[0]
         )
         wf = pltpu.make_async_copy(
-            fbuf.at[slot], feat_hbm.at[:, pl.ds(start, SB)], wsem.at[slot, 1]
+            fbuf, feat_hbm.at[:, pl.ds(start, SB)], wsem.at[1]
         )
-        return wk, wf
+        wk.start()
+        wf.start()
+        wk.wait()
+        wf.wait()
+        return 0
 
     jax.lax.fori_loop(0, nchunk, chunk_body, 0)
-
-    @pl.when(nchunk >= 2)
-    def _():
-        c = nchunk - 2
-        _wcopies(c, jax.lax.rem(c, 2))[0].wait()
-        _wcopies(c, jax.lax.rem(c, 2))[1].wait()
-
-    @pl.when(nchunk >= 1)
-    def _():
-        c = nchunk - 1
-        _wcopies(c, jax.lax.rem(c, 2))[0].wait()
-        _wcopies(c, jax.lax.rem(c, 2))[1].wait()
 
 
 def emit_entries(
@@ -349,9 +325,9 @@ def emit_entries(
         scratch_shapes=[
             pltpu.VMEM((A_pad, GB), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((2, 8, SB), jnp.float32),
-            pltpu.VMEM((2, NF_pad, SB), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((8, SB), jnp.float32),
+            pltpu.VMEM((NF_pad, SB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(

@@ -30,7 +30,6 @@ Entry row layout [F, capA]: 0:mx 1:my 2..10:m00..m22 11:opacity
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -51,7 +50,6 @@ from .rasterize_tiled import (
     _round_up,
 )
 
-LOG_EPS = math.log(TRANSMITTANCE_EPS)
 NFIX = 12  # fixed rows before the linear feature block
 
 

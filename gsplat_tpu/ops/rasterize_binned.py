@@ -22,7 +22,6 @@ and scripts/check_tiled_tpu.py on hardware.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -36,7 +35,6 @@ from .binning import Binned, bin_gaussians
 from .rasterize_ref import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_EPS
 from .rasterize_tiled import _cum_lanes, _cumprod_lanes
 
-LOG_EPS = math.log(TRANSMITTANCE_EPS)
 LANES = 128
 
 

@@ -40,7 +40,6 @@ the design is rebuilt around TPU/XLA constraints:
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -53,7 +52,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .isect import Isect
 from .rasterize_ref import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_EPS
 
-LOG_EPS = math.log(TRANSMITTANCE_EPS)
 LANES = 128
 
 

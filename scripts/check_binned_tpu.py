@@ -110,21 +110,21 @@ def bench():
     cap_t = suggest_capacity(int(isect_probe.n_isects), slack=1.05)
     print(f"uncull n_isects={int(isect_probe.n_isects)} cap_tiled={cap_t}", flush=True)
 
-    wr = jnp.ones((C, height, width, 3), jnp.float32)
-    wa = jnp.ones((C, height, width, 1), jnp.float32)
-
+    # NO closure-captured arrays in the jitted loss: the remote execution
+    # layer re-stages baked constants per dispatch (~240 ms for 33MB of
+    # weights — measured; see PERF.md measurement rules)
     def make_step(kind):
-        def loss(m2d_x, m2d_y, con, col, op):
+        def loss(m2d_x, m2d_y, con, col, op, rad, dep):
             if kind == "binned":
                 r, a, _ = rasterize_to_pixels_binned(
-                    (m2d_x, m2d_y), con, col, op, radii, depths,
+                    (m2d_x, m2d_y), con, col, op, rad, dep,
                     width, height, ts, capacity=cap_b, cull=True)
             else:
-                isect = isect_tiles((m2d_x, m2d_y), radii, depths, ts, tw, th,
+                isect = isect_tiles((m2d_x, m2d_y), rad, dep, ts, tw, th,
                                     capacity=cap_t)
                 r, a = rasterize_to_pixels_tiled(
                     (m2d_x, m2d_y), con, col, op, width, height, ts, isect)
-            return jnp.sum(r * wr) + jnp.sum(a * wa)
+            return jnp.sum(r) + jnp.sum(a)
 
         return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
 
@@ -134,12 +134,13 @@ def bench():
             continue
         step = make_step(kind)
         mx = means2d[..., 0]
-        out = step(mx, means2d[..., 1], con, cols, opc)
+        out = step(mx, means2d[..., 1], con, cols, opc, radii, depths)
         jax.block_until_ready(out)
         iters = 6
         t0 = time.perf_counter()
         for i in range(iters):
-            out = step(mx + np.float32((i + 1) * 1e-6), means2d[..., 1], con, cols, opc)
+            out = step(mx + np.float32((i + 1) * 1e-6), means2d[..., 1], con,
+                       cols, opc, radii, depths)
         jax.block_until_ready(out)
         np.asarray(jax.device_get(out[0].ravel()[:1]))
         dt = (time.perf_counter() - t0) / iters

@@ -83,7 +83,7 @@ Dp = RB._round_up(D, 8)
 F = RB._round_up(6 + Dp, 8)
 GR = RB._round_up(1 + 6 + D, 8)
 capA = RB._round_up(cap, 512)
-Kf, Kb = 512, 256
+Kf, Kb = 512, 128
 P = ts * ts
 cfg = (C, N, T, th, tw, ts, P, D, Dp, F, Kf, Kb, capA, GR,
        False, False, True)

@@ -36,7 +36,7 @@ def main():
         load_test_data(scene_grid=scene_grid)
     )
 
-    if backend == "tiled":
+    if backend == "binned":
         # 1080p, garden replicated 5x5 (parity with profile.rst config)
         scale = 1920.0 / width
         Ks = Ks.copy()

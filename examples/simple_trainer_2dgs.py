@@ -124,7 +124,7 @@ class Runner2DGS(Runner):
             sh_degree=self.cfg.sh_degree if sh_degree is None else sh_degree,
             masks=self.live,
             tile_size=self.cfg.tile_size,
-            backend="tiled" if self._on_tpu else "oracle",
+            backend="binned" if self._on_tpu else "oracle",
             isect_capacity=self.isect_capacity,
             render_mode="RGB+ED",
         )

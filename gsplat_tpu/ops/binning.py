@@ -220,17 +220,23 @@ def emit_entries(
     tile_height: int,
     capacity: int,
     cull: bool = True,
+    payload_rows=None,
 ):
     """Pallas emit stage: per-entry rows, unsorted. Returns
     ``(ops, slab_required)`` where ``ops = (tile_key, d_key, gid,
-    *feature_rows)`` ready for :func:`sort_entries`."""
+    *feature_rows)`` ready for :func:`sort_entries`.
+
+    ``payload_rows`` (a sequence of [C, N] arrays) overrides the default
+    3DGS feature layout — that's how other model families (2DGS surfels)
+    ride the same engine. The exact ellipse cull needs the 3DGS layout,
+    so ``cull`` must be False with custom payloads.
+    """
     C, N = mean_x.shape
     n_tiles = tile_width * tile_height
     T = C * n_tiles
     CN = C * N
     assert CN < (1 << 24), "flatten ids must stay f32-exact"
-    D = colors.shape[-1]
-    NF = 6 + D
+    assert payload_rows is None or not cull
     capA = _round_up(max(capacity, SB), SB)
 
     sg = jax.lax.stop_gradient
@@ -292,19 +298,21 @@ def emit_entries(
     def pad(x):
         return jnp.pad(fin(x).reshape(-1), (0, CN_pad - CN))
 
+    if payload_rows is None:
+        D = colors.shape[-1]
+        payload = [mean_x, mean_y, con_a, con_b, con_c, opacities] + [
+            colors[..., d] for d in range(D)
+        ]
+    else:
+        payload = list(payload_rows)
+    NF = len(payload)
     attr_rows = [
         pad(tminx),
         pad(tminy),
         pad(rw.astype(jnp.float32)),
         prefix.reshape(-1),
         pad(dep),
-        pad(mean_x),
-        pad(mean_y),
-        pad(con_a),
-        pad(con_b),
-        pad(con_c),
-        pad(opacities),
-    ] + [pad(colors[..., d]) for d in range(D)]
+    ] + [pad(r) for r in payload]
     A = len(attr_rows)  # 5 + NF
     # HBM slices must be 8-sublane aligned on the row dim: pad row counts.
     A_pad = _round_up(A, 8)

@@ -1,0 +1,622 @@
+"""2DGS (surfel) rasterizer on the binning engine.
+
+The round-1 2DGS path (ops/rasterize_2dgs_tiled.py) builds its entry
+stream with XLA repeat/scatter/gather glue — the per-index ops the binned
+3DGS pipeline eliminated. This module gives 2DGS the same treatment: the
+generic Pallas emitter (ops/binning.py, ``payload_rows``) duplicates the
+surfel rows into per-entry form, one payload ``lax.sort`` orders them by
+(cam-tile, depth), the fwd/bwd kernels read the sorted stream at unaligned
+tile ranges, and the backward's per-entry gradients reduce to per-Gaussian
+sums through the shared gid-sort + one-hot matmul reduce
+(ops/rasterize_binned._reduce_call).
+
+Entry stream rows (F total): [mx, my, M00..M22 (9), opacity,
+colors(D incl. depth last), normals(3), pad..., gid]. Kernel math is
+identical to rasterize_2dgs_tiled (sigma via ray-plane cross products,
+distortion prefix reconstruction, median depth), so parity holds against
+the same oracle. Reference roles: gsplat/cuda/csrc/RasterizeToPixels2DGS*
++ triton isect pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import emit_entries, sort_entries
+from .rasterize_binned import _ecopy, _reduce_call
+from .rasterize_ref import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_EPS
+from .rasterize_2dgs_tiled import NFIX, _sigma_2dgs
+from .rasterize_tiled import LANES, _cum_lanes, _cumprod_lanes, _interpret, _round_up
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel (unaligned tile ranges over the sorted stream)
+# ---------------------------------------------------------------------------
+
+
+def _fwd2_kernel(
+    offs_ref, cnts_ref,  # [T] i32 scalar prefetch: true range per tile
+    entries_hbm,  # [F, capA]
+    accum_ref,  # [1, Lp, P]
+    logT_ref,  # [1, 1, P]
+    last_ref,  # [1, 1, P] i32 (absolute stream index)
+    dist_ref,  # [1, 1, P]
+    med_ref,  # [1, 1, P]
+    ebuf, esem,
+    *, K, P, L, Lp, md, ts, tw, th, native,
+):
+    t = pl.program_id(0)
+    off = offs_ref[t]
+    n = cnts_ref[t]
+    astart = (off // K) * K
+    nb = pl.cdiv(off + n - astart, K)
+    NS = K // LANES
+
+    rem = t % (th * tw)
+    ty = rem // tw
+    tx = rem % tw
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
+    py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    accum_ref[...] = jnp.zeros_like(accum_ref)
+
+    @pl.when(nb > 0)
+    def _():
+        _ecopy(entries_hbm, ebuf, esem, astart, 0, K).start()
+
+    def body(carry):
+        b, T_test, T_out_v, last_v, dist, wsum, wmsum, med = carry
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nb)
+        def _():
+            _ecopy(entries_hbm, ebuf, esem, astart + (b + 1) * K, 1 - slot, K).start()
+
+        _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
+        eb = ebuf[slot]
+
+        acc = jnp.zeros_like(accum_ref[0])
+        for s in range(NS):
+            e = eb[:, s * LANES : (s + 1) * LANES]
+            op = e[11:12, :]
+            sig, _, _, _, _, _, _, _, _, _ = _sigma_2dgs(e, px, py, L)
+            araw = op * jnp.exp(-sig)
+            alpha = jnp.minimum(araw, ALPHA_MAX)
+            gidx = astart + b * K + s * LANES + kidx
+            colmask = (gidx >= off) & (gidx < off + n)
+            valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+            one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+
+            Tm = _cumprod_lanes(one_m, LANES, "fwd_incl", native)
+            roll = pltpu.roll if native else jnp.roll
+            Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
+            T_excl = Tm_excl * T_test
+            T_incl = T_excl * one_m
+            accept = valid & (T_incl > TRANSMITTANCE_EPS)
+            w = jnp.where(accept, T_excl * alpha, 0.0)  # [P, 128]
+
+            acc += jax.lax.dot_general(
+                e[NFIX : NFIX + Lp, :], w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+            # distortion: 2 * sum_k w_k (m_k W_<k - WM_<k), prefixes carried
+            mrow = e[NFIX + md : NFIX + md + 1, :]
+            w_pref = _cum_lanes(w, LANES, "fwd_incl", native) - w + wsum
+            wm = w * mrow
+            wm_pref = _cum_lanes(wm, LANES, "fwd_incl", native) - wm + wmsum
+            dist = dist + jnp.sum(
+                2.0 * (wm * w_pref - w * wm_pref), axis=1, keepdims=True
+            )
+            # median: depth of the last accepted gaussian with T_excl > 0.5
+            hit = accept & (T_excl > 0.5)
+            med = jnp.where(
+                jnp.any(hit, axis=1, keepdims=True),
+                jnp.sum(
+                    jnp.where(
+                        gidx
+                        == jnp.max(
+                            jnp.where(hit, gidx, -1), axis=1, keepdims=True
+                        ),
+                        jnp.where(hit, mrow, 0.0),
+                        0.0,
+                    ),
+                    axis=1,
+                    keepdims=True,
+                ),
+                med,
+            )
+
+            T_test = T_test * Tm[:, LANES - 1 :]
+            T_out_v = jnp.minimum(T_out_v, jnp.where(accept, T_incl, 1.0))
+            last_v = jnp.maximum(last_v, jnp.where(accept, gidx, -1))
+            wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
+            wmsum = wmsum + jnp.sum(wm, axis=1, keepdims=True)
+        accum_ref[0] += acc
+        return b + 1, T_test, T_out_v, last_v, dist, wsum, wmsum, med
+
+    zp = jnp.zeros((P, 1), jnp.float32)
+    onep = jnp.ones((P, 1), jnp.float32)
+    out = jax.lax.fori_loop(
+        0, nb, lambda b, c: body(c),
+        (
+            jnp.int32(0), onep,
+            jnp.ones((P, LANES), jnp.float32),
+            jnp.full((P, LANES), -1, jnp.int32),
+            zp, zp, zp, zp,
+        ),
+    )
+    _, _, T_out_v, last_v, dist, _, _, med = out
+    T_out = jnp.min(T_out_v, axis=1, keepdims=True)
+    last = jnp.max(last_v, axis=1, keepdims=True)
+
+    logT_ref[0] = jnp.transpose(jnp.log(T_out), (1, 0))
+    last_ref[0] = jnp.transpose(last, (1, 0))
+    dist_ref[0] = jnp.transpose(dist, (1, 0))
+    med_ref[0] = jnp.transpose(med, (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: per-entry grads + gid, K-aligned per tile
+# ---------------------------------------------------------------------------
+
+
+def _bwd2_kernel(
+    offs_ref, cnts_ref, aoff_ref,
+    entries_hbm,  # [F, capA] (row F-1 = gid as exact f32)
+    logT_ref, last_ref, wmtot_ref,
+    vaccum_ref, vlogT_ref, vdist_ref,
+    _vz_hbm,
+    vgr_hbm,  # [GR, capA2] out: row 0 = gid, 1.. = grads
+    ebuf, esem, wbuf, wsem,
+    *, K, P, L, Lp, GR, md, ts, tw, th, native,
+):
+    t = pl.program_id(0)
+    off = offs_ref[t]
+    n = cnts_ref[t]
+    aoff = aoff_ref[t]
+    astart = (off // K) * K
+    NS = K // LANES
+
+    rem = t % (th * tw)
+    ty = rem // tw
+    tx = rem % tw
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
+    py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    last_row = last_ref[0]
+    last = jnp.transpose(last_row, (1, 0))
+    T_fin = jnp.exp(jnp.transpose(logT_ref[0], (1, 0)))
+    vlogT = jnp.transpose(vlogT_ref[0], (1, 0))
+    vdist = jnp.transpose(vdist_ref[0], (1, 0))
+    wm_tot = jnp.transpose(wmtot_ref[0], (1, 0))
+    vaccum = vaccum_ref[0]  # [Lp, P]
+    w_tot = 1.0 - T_fin
+
+    last_max = jnp.max(last_row)
+    start_b = (last_max - astart) // K
+    nb_eff = jnp.where((last_max >= off) & (n > 0), start_b + 1, 0)
+
+    def wcopy(b, slot):
+        start = pl.multiple_of(aoff + b * K, LANES)
+        return pltpu.make_async_copy(
+            wbuf.at[slot], vgr_hbm.at[:, pl.ds(start, K)], wsem.at[slot]
+        )
+
+    @pl.when(nb_eff > 0)
+    def _():
+        _ecopy(entries_hbm, ebuf, esem, astart + start_b * K, start_b % 2, K).start()
+
+    def body(i, carry):
+        S, sG, sW, sWM = carry
+        b = start_b - i
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b - 1 >= 0)
+        def _():
+            _ecopy(entries_hbm, ebuf, esem, astart + (b - 1) * K, 1 - slot, K).start()
+
+        _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
+        eb = ebuf[slot]
+
+        @pl.when(i >= 2)
+        def _():
+            wcopy(b + 2, jax.lax.rem(i, 2)).wait()
+        wslot = jax.lax.rem(i, 2)
+
+        for s in reversed(range(NS)):
+            e = eb[:, s * LANES : (s + 1) * LANES]
+            gid = e[-1:, :].astype(jnp.int32)
+            op = e[11:12, :]
+            feat = e[NFIX : NFIX + Lp, :]
+            sig, use3d, u, v, crz, dx, dy, hu, hv, m = _sigma_2dgs(e, px, py, L)
+            eneg = jnp.exp(-sig)
+            araw = op * eneg
+            alpha = jnp.minimum(araw, ALPHA_MAX)
+            gidx = astart + b * K + s * LANES + kidx
+            colmask = (gidx >= off) & (gidx < off + n)
+            valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+            accept = valid & (gidx <= last)
+
+            one_m = jnp.where(accept, 1.0 - alpha, 1.0)
+            S_incl = _cumprod_lanes(one_m, LANES, "rev_incl", native) * S
+            Tk = T_fin / S_incl
+            w = jnp.where(accept, alpha * Tk, 0.0)
+
+            cv = jax.lax.dot_general(
+                vaccum, feat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            mrow = e[NFIX + md : NFIX + md + 1, :]
+            wm = w * mrow
+            S_w = _cum_lanes(w, LANES, "rev_excl", native) + sW
+            S_wm = _cum_lanes(wm, LANES, "rev_excl", native) + sWM
+            W_pref = w_tot - w - S_w
+            WM_pref = wm_tot - wm - S_wm
+            G = cv + vdist * 2.0 * (
+                mrow * W_pref - WM_pref + (S_wm - mrow * S_w)
+            )
+            d = w * G
+            S_excl = _cum_lanes(d, LANES, "rev_excl", native) + sG
+
+            v_alpha = jnp.where(
+                accept, Tk * G - (S_excl + vlogT) / one_m, 0.0
+            )
+            notclamp = araw < ALPHA_MAX
+            v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
+            v_op = jnp.sum(
+                jnp.where(notclamp, eneg * v_alpha, 0.0), axis=0, keepdims=True
+            )
+
+            v_feat = jax.lax.dot_general(
+                vaccum, w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            v_m_extra = jnp.sum(
+                vdist * 2.0 * w * (W_pref - S_w), axis=0, keepdims=True
+            )
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (Lp, LANES), 0)
+            v_feat = v_feat + jnp.where(row_ids == md, v_m_extra, 0.0)
+
+            v_gx = -jnp.sum(
+                jnp.where(use3d, 0.0, 2.0 * dx * v_sig), axis=0, keepdims=True
+            )
+            v_gy = -jnp.sum(
+                jnp.where(use3d, 0.0, 2.0 * dy * v_sig), axis=0, keepdims=True
+            )
+            v_u = jnp.where(use3d, u * v_sig, 0.0)
+            v_v = jnp.where(use3d, v * v_sig, 0.0)
+            v_cr0 = v_u / crz
+            v_cr1 = v_v / crz
+            v_cr2 = -(u * v_u + v * v_v) / crz
+            v_hu = [
+                hv[1] * v_cr2 - hv[2] * v_cr1,
+                hv[2] * v_cr0 - hv[0] * v_cr2,
+                hv[0] * v_cr1 - hv[1] * v_cr0,
+            ]
+            v_hv = [
+                v_cr1 * hu[2] - v_cr2 * hu[1],
+                v_cr2 * hu[0] - v_cr0 * hu[2],
+                v_cr0 * hu[1] - v_cr1 * hu[0],
+            ]
+            v_M = []
+            for c in range(3):
+                v_M.append(-jnp.sum(v_hu[c], axis=0, keepdims=True))
+            for c in range(3):
+                v_M.append(-jnp.sum(v_hv[c], axis=0, keepdims=True))
+            for c in range(3):
+                v_M.append(
+                    jnp.sum(px * v_hu[c] + py * v_hv[c], axis=0, keepdims=True)
+                )
+
+            rows = [
+                jnp.where(colmask, gid, jnp.int32(1 << 24)).astype(jnp.float32),
+                v_gx, v_gy,
+            ] + v_M + [v_op, v_feat]
+            used = 1 + 2 + 9 + 1 + Lp
+            if GR > used:
+                rows.append(jnp.zeros((GR - used, LANES), jnp.float32))
+            wbuf[wslot, :, s * LANES : (s + 1) * LANES] = jnp.concatenate(
+                rows, axis=0
+            )
+
+            S = S_incl[:, 0:1]
+            sG = sG + jnp.sum(d, axis=1, keepdims=True)
+            sW = sW + jnp.sum(w, axis=1, keepdims=True)
+            sWM = sWM + jnp.sum(wm, axis=1, keepdims=True)
+
+        wcopy(b, wslot).start()
+        return S, sG, sW, sWM
+
+    zp = jnp.zeros((P, 1), jnp.float32)
+    jax.lax.fori_loop(
+        0, nb_eff, body, (jnp.ones((P, 1), jnp.float32), zp, zp, zp)
+    )
+
+    @pl.when(nb_eff >= 2)
+    def _():
+        wcopy(start_b - (nb_eff - 2), jax.lax.rem(nb_eff - 2, 2)).wait()
+
+    @pl.when(nb_eff >= 1)
+    def _():
+        wcopy(start_b - (nb_eff - 1), jax.lax.rem(nb_eff - 1, 2)).wait()
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP over the binned 2DGS pipeline
+# ---------------------------------------------------------------------------
+
+
+def _fwd2_call(cfg, entries, offs, cnts):
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, Lp, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, F, KF), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd2_kernel, K=KF, P=P, L=L, Lp=Lp, md=md, ts=ts, tw=tw, th=th,
+        native=not interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Lp, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(offs, cnts, entries)
+
+
+def _bwd2_call(
+    cfg, entries, offs, cnts, aoff, capA2, logT, last, wmtot,
+    v_accum, v_logT, v_dist,
+):
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, Lp, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, F, KB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, GR, KB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd2_kernel, K=KB, P=P, L=L, Lp=Lp, GR=GR, md=md, ts=ts, tw=tw,
+        th=th, native=not interpret,
+    )
+    vzero = jnp.concatenate(
+        [
+            jnp.full((1, capA2), float(1 << 24), jnp.float32),
+            jnp.zeros((GR - 1, capA2), jnp.float32),
+        ],
+        axis=0,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((GR, capA2), jnp.float32)],
+        input_output_aliases={10: 0},
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(offs, cnts, aoff, entries, logT, last, wmtot, v_accum, v_logT,
+      v_dist, vzero)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _raster_2dgs_binned(cfg, packed, radii, depths):
+    out, _ = _raster_2dgs_binned_fwd(cfg, packed, radii, depths)
+    return out
+
+
+def _bin_from_packed(cfg, packed, radii, depths):
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    rows = [packed[r].reshape(C, N) for r in range(NFIX + L)]
+    ops, slab_required = emit_entries(
+        rows[0], rows[1], None, None, None, None, None, radii, depths,
+        ts, tw, th, capacity=capA, cull=False, payload_rows=rows,
+    )
+    return sort_entries(ops, T, slab_required)
+
+
+def _raster_2dgs_binned_fwd(cfg, packed, radii, depths):
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
+    # stream layout: NFIX fixed rows, L features padded to Lp, zero filler,
+    # gid as the last row (exact f32 < 2^24, for the backward's reduce)
+    entries = jnp.concatenate(
+        [
+            binned.entries[: NFIX + L],
+            jnp.zeros((Lp - L, capA), jnp.float32),
+            jnp.zeros((F - (NFIX + Lp) - 1, capA), jnp.float32),
+            binned.gids.astype(jnp.float32),
+        ],
+        axis=0,
+    )
+    accum, logT, last, dist, med = _fwd2_call(cfg, entries, binned.offs, binned.cnts)
+    res = (entries, binned.offs, binned.cnts, logT, last,
+           accum[:, md : md + 1, :])
+    return (accum, logT, dist, med, binned.n_isects, binned.slab_required), res
+
+
+def _raster_2dgs_binned_bwd(cfg, res, cts):
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    entries, offs, cnts, logT, last, wmtot = res
+    v_accum, v_logT, v_dist, _v_med, _, _ = cts
+    acnt = ((cnts + KB - 1) // KB + 1) * KB
+    aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
+    capA2 = _round_up(capA + 2 * KB * T, LANES)
+    vgr = _bwd2_call(
+        cfg, entries, offs, cnts, aoff, capA2, logT, last, wmtot,
+        v_accum, v_logT, v_dist,
+    )
+    used = 1 + 2 + 9 + 1 + Lp
+    ops = (vgr[0].astype(jnp.int32),) + tuple(vgr[1:used])
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    vg_s = jnp.concatenate(
+        [
+            jnp.stack(
+                (sorted_ops[0].astype(jnp.float32),) + sorted_ops[1:], axis=0
+            ),
+            jnp.zeros((GR - used, capA2), jnp.float32),
+        ],
+        axis=0,
+    )
+    red = _reduce_call(
+        sorted_ops[0], vg_s, M=C * N, GR=GR, interpret=interpret
+    )
+    # red rows: gid-garbage, v_gx, v_gy, v_M(9), v_op, v_feat(Lp, of which
+    # the first L are live feature grads)
+    v_packed = jnp.concatenate(
+        [
+            red[1:3],  # mx, my
+            red[3:12],  # M rows
+            red[12:13],  # opacity
+            red[13 : 13 + L],  # colors + normals
+        ],
+        axis=0,
+    )
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return v_packed, zi(jnp.zeros((C, N), jnp.int32)), jnp.zeros((C, N), jnp.float32)
+
+
+_raster_2dgs_binned.defvjp(_raster_2dgs_binned_fwd, _raster_2dgs_binned_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def rasterize_to_pixels_2dgs_binned(
+    means2d,  # [C, N, 2] or (mx, my)
+    ray_transforms,  # [C, N, 3, 3] or tuple of 9 [C, N] rows
+    colors: jax.Array,  # [C, N, D] — last channel must be the depth
+    normals: jax.Array,  # [C, N, 3]
+    opacities: jax.Array,  # [C, N]
+    radii: jax.Array,  # [C, N] i32
+    depths: jax.Array,  # [C, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int,
+    capacity: int,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+    batch_size: int = 2 * LANES,
+    bwd_batch_size: Optional[int] = None,
+):
+    """Binned-pipeline 2DGS rasterizer. Returns (render_colors, alphas,
+    render_normals, render_distort, render_median, aux) with
+    aux = {"n_isects", "slab_required"} for the capacity loop. Semantics
+    identical to rasterize_to_pixels_2dgs_ref / _tiled."""
+    if isinstance(means2d, (tuple, list)):
+        mean_x, mean_y = means2d
+    else:
+        mean_x, mean_y = means2d[..., 0], means2d[..., 1]
+    if isinstance(ray_transforms, (tuple, list)):
+        mrows = list(ray_transforms)
+    else:
+        mrows = [ray_transforms[..., r, c] for r in range(3) for c in range(3)]
+    C, N = mean_x.shape
+    D = colors.shape[-1]
+    md = D - 1
+    L = D + 3
+    ts = tile_size
+    th = -(-image_height // ts)
+    tw = -(-image_width // ts)
+    T = C * th * tw
+    P = ts * ts
+    Lp = _round_up(L, 8)
+    F = _round_up(NFIX + Lp + 1, 8)
+    KF = batch_size
+    if bwd_batch_size is None:
+        # the 2DGS bwd live set exceeds scoped VMEM past P*KB ~ 256*128
+        bwd_batch_size = LANES
+    KB = bwd_batch_size
+    GR = _round_up(1 + 2 + 9 + 1 + Lp, 8)
+
+    rows = [mean_x, mean_y] + mrows + [opacities]
+    rows += [colors[..., d] for d in range(D)]
+    rows += [normals[..., d] for d in range(3)]
+    packed = jnp.stack(
+        [r.reshape(-1) for r in rows], axis=0
+    ).astype(jnp.float32)
+
+    capA = _round_up(max(capacity, 512), 512)
+    cfg = (
+        C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md,
+        _interpret(),
+    )
+    accum, logT, dist, med, n_isects, slab_required = _raster_2dgs_binned(
+        cfg, packed, radii, depths
+    )
+
+    def unpack_img(x, d0, d1):
+        img = x[:, d0:d1, :].reshape(C, th, tw, d1 - d0, ts, ts)
+        return jnp.transpose(img, (0, 1, 4, 2, 5, 3)).reshape(
+            C, th * ts, tw * ts, d1 - d0
+        )[:, :image_height, :image_width]
+
+    render = unpack_img(accum, 0, D)
+    render_normals = unpack_img(accum, D, D + 3)
+
+    def unpack_row(x):
+        im = x.reshape(C, th, tw, ts, ts)
+        return jnp.transpose(im, (0, 1, 3, 2, 4)).reshape(C, th * ts, tw * ts)[
+            :, :image_height, :image_width
+        ]
+
+    Tfin = jnp.exp(unpack_row(logT))
+    alphas = 1.0 - Tfin
+    render_distort = unpack_row(dist)[..., None]
+    render_median = unpack_row(med)[..., None]
+    if backgrounds is not None:
+        render = render + Tfin[..., None] * backgrounds[:, None, None, :]
+    aux = {"n_isects": n_isects, "slab_required": slab_required}
+    return render, alphas[..., None], render_normals, render_distort, render_median, aux

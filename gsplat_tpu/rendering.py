@@ -375,8 +375,23 @@ def rasterization_2dgs(
             backgrounds = jnp.zeros((C, 1), backgrounds.dtype)
 
     if backend == "auto":
-        backend = "tiled" if isect_capacity is not None else "oracle"
-    if backend == "tiled":
+        backend = "binned" if isect_capacity is not None else "oracle"
+    if backend == "binned":
+        from .ops.rasterize_2dgs_binned import rasterize_to_pixels_2dgs_binned
+
+        tile_width = math.ceil(width / tile_size)
+        tile_height = math.ceil(height / tile_size)
+        (
+            render_colors, render_alphas, render_normals, render_distort,
+            render_median, aux,
+        ) = rasterize_to_pixels_2dgs_binned(
+            means2d, ray_transforms, colors_cn, normals, opacities_cn,
+            radii, depths, width, height, tile_size,
+            capacity=isect_capacity, backgrounds=backgrounds,
+        )
+        meta["n_isects"] = aux["n_isects"]
+        meta["slab_required"] = aux["slab_required"]
+    elif backend == "tiled":
         from .ops.rasterize_2dgs_tiled import rasterize_to_pixels_2dgs_tiled
 
         tile_width = math.ceil(width / tile_size)

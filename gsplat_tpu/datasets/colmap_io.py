@@ -230,11 +230,30 @@ def read_points3d_txt(path: str):
 
 
 def read_model(sparse_dir: str):
-    """Read a COLMAP sparse model directory (.bin preferred, .txt fallback)."""
+    """Read a COLMAP sparse model directory (.bin preferred, .txt fallback).
+
+    Binary models go through the native C++ reader when a toolchain is
+    available (csrc/colmap_native.cpp — the role pycolmap plays for the
+    reference); this pure-Python parser is the portable fallback and the
+    parity oracle for it (tests/test_colmap_native.py)."""
     if os.path.exists(os.path.join(sparse_dir, "cameras.bin")):
-        cams = read_cameras_bin(os.path.join(sparse_dir, "cameras.bin"))
-        imgs = read_images_bin(os.path.join(sparse_dir, "images.bin"))
-        pts = read_points3d_bin(os.path.join(sparse_dir, "points3D.bin"))
+        from . import colmap_native
+
+        cams = colmap_native.read_cameras_bin(
+            os.path.join(sparse_dir, "cameras.bin")
+        )
+        imgs = pts = None
+        if cams is not None:
+            imgs = colmap_native.read_images_bin(
+                os.path.join(sparse_dir, "images.bin")
+            )
+            pts = colmap_native.read_points3d_bin(
+                os.path.join(sparse_dir, "points3D.bin")
+            )
+        if cams is None or imgs is None or pts is None:
+            cams = read_cameras_bin(os.path.join(sparse_dir, "cameras.bin"))
+            imgs = read_images_bin(os.path.join(sparse_dir, "images.bin"))
+            pts = read_points3d_bin(os.path.join(sparse_dir, "points3D.bin"))
     else:
         cams = read_cameras_txt(os.path.join(sparse_dir, "cameras.txt"))
         imgs = read_images_txt(os.path.join(sparse_dir, "images.txt"))

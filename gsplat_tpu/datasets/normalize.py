@@ -1,76 +1,92 @@
-"""Scene normalization (parity: examples/datasets/normalize.py:4-133).
+"""Scene normalization (role parity: examples/datasets/normalize.py:4-133).
 
-Similarity transform that re-orients the world up axis from the camera up
-axes, recenters on the camera focus, and rescales by median camera distance;
-plus PCA principal-axis alignment of the SfM point cloud. numpy-only.
+Builds the similarity transform that puts a COLMAP scene into a canonical
+frame: gravity-align the world up axis to the mean camera up direction,
+recenter on the cameras' focus point, rescale so the median camera sits at
+unit distance; plus a PCA alignment of the SfM cloud. Formulated here via a
+quaternion rotation-between-vectors (instead of the Rodrigues/skew form)
+and einsum axis extraction. numpy-only.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+_CAM_UP = np.array([0.0, -1.0, 0.0])  # OpenCV convention: -y is up
+_CAM_FWD = np.array([0.0, 0.0, 1.0])
+
+
+def _rotation_between(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Shortest-arc rotation taking unit vector ``src`` onto ``dst``,
+    via the half-angle quaternion q = [cos(t/2), sin(t/2)*axis]."""
+    d = float(src @ dst)
+    if d < -1.0 + 1e-9:
+        # antipodal: rotate pi about any axis orthogonal to src
+        return np.diag([-1.0, 1.0, 1.0])
+    axis = np.cross(src, dst)
+    w = 1.0 + d  # = 2 cos^2(t/2); quaternion (w, axis) before normalization
+    q = np.concatenate([[w], axis])
+    q = q / np.linalg.norm(q)
+    qw, qx, qy, qz = q
+    return np.array(
+        [
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+            [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+        ]
+    )
+
 
 def similarity_from_cameras(
     c2w: np.ndarray, strict_scaling: bool = False, center_method: str = "focus"
 ) -> np.ndarray:
     """4x4 similarity transform normalizing OpenCV-convention c2w cameras."""
-    t = c2w[:, :3, 3]
-    R = c2w[:, :3, :3]
+    rot = c2w[:, :3, :3]
+    pos = c2w[:, :3, 3]
 
-    # world up = average of camera up axes (-y in camera space)
-    ups = np.sum(R * np.array([0.0, -1.0, 0.0]), axis=-1)
-    world_up = np.mean(ups, axis=0)
-    world_up /= np.linalg.norm(world_up)
+    # mean camera up direction in world coordinates -> rotate onto _CAM_UP
+    up_world = np.einsum("nij,j->ni", rot, _CAM_UP).mean(axis=0)
+    up_world = up_world / np.linalg.norm(up_world)
+    R_align = _rotation_between(up_world, _CAM_UP)
 
-    up_camspace = np.array([0.0, -1.0, 0.0])
-    c = (up_camspace * world_up).sum()
-    cross = np.cross(world_up, up_camspace)
-    skew = np.array(
-        [
-            [0.0, -cross[2], cross[1]],
-            [cross[2], 0.0, -cross[0]],
-            [-cross[1], cross[0], 0.0],
-        ]
-    )
-    if c > -1:
-        R_align = np.eye(3) + skew + (skew @ skew) / (1 + c)
-    else:
-        R_align = np.diag([-1.0, 1.0, 1.0])
-
-    R = R_align @ R
-    fwds = np.sum(R * np.array([0.0, 0.0, 1.0]), axis=-1)
-    t = (R_align @ t[..., None])[..., 0]
-
+    pos = np.einsum("ij,nj->ni", R_align, pos)
     if center_method == "focus":
-        nearest = t + (fwds * -t).sum(-1)[:, None] * fwds
-        translate = -np.median(nearest, axis=0)
+        # closest point to the origin on each (aligned) optical axis; the
+        # median of those is the scene's focus
+        fwd = np.einsum("ij,njk,k->ni", R_align, rot, _CAM_FWD)
+        along = np.einsum("ni,ni->n", fwd, -pos)
+        foot = pos + along[:, None] * fwd
+        translate = -np.median(foot, axis=0)
     elif center_method == "poses":
-        translate = -np.median(t, axis=0)
+        translate = -np.median(pos, axis=0)
     else:
         raise ValueError(f"Unknown center_method {center_method}")
 
-    transform = np.eye(4)
-    transform[:3, 3] = translate
-    transform[:3, :3] = R_align
+    dist = np.linalg.norm(pos + translate, axis=-1)
+    scale = 1.0 / (np.max(dist) if strict_scaling else np.median(dist))
 
-    scale_fn = np.max if strict_scaling else np.median
-    scale = 1.0 / scale_fn(np.linalg.norm(t + translate, axis=-1))
-    transform[:3, :] *= scale
+    transform = np.eye(4)
+    transform[:3, :3] = scale * R_align
+    transform[:3, 3] = scale * translate
     return transform
 
 
 def align_principal_axes(point_cloud: np.ndarray) -> np.ndarray:
-    """PCA-align: z becomes the axis of least variance."""
-    centroid = np.median(point_cloud, axis=0)
-    centered = point_cloud - centroid
-    cov = np.cov(centered, rowvar=False)
-    eigenvalues, eigenvectors = np.linalg.eigh(cov)
-    eigenvectors = eigenvectors[:, eigenvalues.argsort()[::-1]]
-    if np.linalg.det(eigenvectors) < 0:
-        eigenvectors[:, 0] *= -1
+    """Rotate so the cloud's principal axes land on x/y/z (z = least
+    variance, i.e. the ground plane normal for mostly-planar scenes)."""
+    center = np.median(point_cloud, axis=0)
+    x = point_cloud - center
+    # covariance about the MEAN (translation-invariant), while the
+    # recentering translation uses the outlier-robust median
+    y = x - x.mean(axis=0)
+    evals, evecs = np.linalg.eigh(y.T @ y / max(len(y) - 1, 1))
+    # eigh returns ascending eigenvalues; we want descending variance
+    basis = evecs[:, ::-1]
+    if np.linalg.det(basis) < 0:
+        basis = basis * np.array([-1.0, 1.0, 1.0])
     transform = np.eye(4)
-    transform[:3, :3] = eigenvectors.T
-    transform[:3, 3] = -eigenvectors.T @ centroid
+    transform[:3, :3] = basis.T
+    transform[:3, 3] = basis.T @ (-center)
     return transform
 
 
@@ -79,7 +95,8 @@ def transform_points(matrix: np.ndarray, points: np.ndarray) -> np.ndarray:
 
 
 def transform_cameras(matrix: np.ndarray, camtoworlds: np.ndarray):
-    """Apply a similarity to c2w matrices; returns (c2w, scales applied)."""
+    """Apply a similarity to c2w matrices; rotation re-orthonormalized by
+    dividing out the uniform scale."""
     out = np.einsum("ij,njk->nik", matrix, camtoworlds)
     scaling = np.linalg.norm(out[:, 0, :3], axis=1)
     out[:, :3, :3] = out[:, :3, :3] / scaling[:, None, None]

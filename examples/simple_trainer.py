@@ -666,6 +666,57 @@ class Runner:
 
     # --- training loop ------------------------------------------------------
 
+    def _probe_isect_capacity(self):
+        """Right-size the intersection/slab budget from the actual scene.
+
+        The binned engine's emit/sort/reduce stages all scale with the
+        static capacity; the blanket 4M default is ~20x oversized for small
+        scenes and measurably slows every step. One truncated probe render
+        returns the exact requirement (meta['slab_required'] is computed
+        before truncation); _maybe_grow handles growth from there."""
+        cfg = self.cfg
+        if not self._on_tpu or self.mesh is not None:
+            return
+        try:
+            data = self.trainset[0]
+            H, W = data["image"].shape[:2]
+            colors = jnp.concatenate(
+                [self.params["sh0"], self.params["shN"]], axis=1
+            )
+            _, _, meta = self.render_probe(
+                jnp.asarray(data["camtoworld"])[None],
+                jnp.asarray(data["K"])[None], W, H, colors,
+            )
+            need = int(meta.get("slab_required", meta.get("n_isects", 0)))
+            if need > 0:
+                self.isect_capacity = _round_up(
+                    max(int(need * cfg.isect_headroom * 1.5), 65536), 4096
+                )
+                print(f"[isect] probed slab_required={need} -> "
+                      f"capacity {self.isect_capacity}")
+        except Exception as e:  # pragma: no cover - probe is best-effort
+            print(f"[isect] capacity probe failed ({e}); keeping "
+                  f"{self.isect_capacity}")
+
+    def render_probe(self, camtoworlds, Ks, width, height, colors):
+        """Tiny-capacity truncated render used only for the budget probe."""
+        return rasterization(
+            self.params["means"],
+            self.params["quats"],
+            jnp.exp(self.params["scales"]),
+            jax.nn.sigmoid(self.params["opacities"]),
+            colors,
+            jnp.linalg.inv(camtoworlds),
+            Ks,
+            width,
+            height,
+            sh_degree=self.cfg.sh_degree,
+            backend="binned",
+            isect_capacity=4096,
+            masks=self.live,
+            tile_size=self.cfg.tile_size,
+        )
+
     def train(self):
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
@@ -680,6 +731,7 @@ class Runner:
             self._step_fn = None
 
         n_train = len(self.trainset)
+        self._probe_isect_capacity()
 
         def data_index(step_i, slot):
             # deterministic per-(epoch, position): resume-stable

@@ -107,6 +107,25 @@ class Runner2DGS(Runner):
             loss = loss + self.dist_lambda * jnp.mean(geom["distort"])
         return loss
 
+    def render_probe(self, camtoworlds, Ks, width, height, colors):
+        out = rasterization_2dgs(
+            self.params["means"],
+            self.params["quats"],
+            jnp.exp(self.params["scales"]),
+            jax.nn.sigmoid(self.params["opacities"]),
+            colors,
+            jnp.linalg.inv(camtoworlds),
+            Ks,
+            width,
+            height,
+            sh_degree=self.cfg.sh_degree,
+            backend="binned",
+            isect_capacity=4096,
+            masks=self.live,
+            tile_size=self.cfg.tile_size,
+        )
+        return out[0], out[1], out[6]
+
     # --- eval / viewer render --------------------------------------------
 
     def render(self, camtoworlds, Ks, width, height, sh_degree=None):

@@ -2,7 +2,7 @@
 
 Parity: /root/reference/examples/image_fitting.py:16-189 (identity viewmat at
 z=8, 90-degree fov, uniform random means in NDC, sigmoid color activation).
-Runs on TPU (tiled Pallas backend) or CPU (oracle backend) automatically.
+Runs on TPU (binned Pallas backend) or CPU (oracle backend) automatically.
 """
 
 from __future__ import annotations
@@ -74,7 +74,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     isect_capacity = 4 * N * 16 if on_tpu else None
-    backend = "tiled" if on_tpu else "oracle"
+    backend = "binned" if on_tpu else "oracle"
 
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)

@@ -221,6 +221,7 @@ def emit_entries(
     capacity: int,
     cull: bool = True,
     payload_rows=None,
+    extents=None,
 ):
     """Pallas emit stage: per-entry rows, unsorted. Returns
     ``(ops, slab_required)`` where ``ops = (tile_key, d_key, gid,
@@ -229,7 +230,10 @@ def emit_entries(
     ``payload_rows`` (a sequence of [C, N] arrays) overrides the default
     3DGS feature layout — that's how other model families (2DGS surfels)
     ride the same engine. The exact ellipse cull needs the 3DGS layout,
-    so ``cull`` must be False with custom payloads.
+    so ``cull`` must be False with custom payloads; such callers can
+    instead pass ``extents=(ext_x, ext_y)`` — per-axis rect half-widths
+    in pixels (clipped to the radii circle) — for an output-exact
+    AABB cut of their own making.
     """
     C, N = mean_x.shape
     n_tiles = tile_width * tile_height
@@ -265,6 +269,11 @@ def emit_entries(
         ext_x = jnp.where(ok, jnp.minimum(ext_x, rad), rad)
         ext_y = jnp.where(ok, jnp.minimum(ext_y, rad), rad)
         alive = (radii > 0) & (tau > 0.0)
+    elif extents is not None:
+        rad = radii.astype(jnp.float32)
+        ext_x = jnp.minimum(fin(extents[0]), rad)
+        ext_y = jnp.minimum(fin(extents[1]), rad)
+        alive = radii > 0
     else:
         ext_x = ext_y = radii.astype(jnp.float32)
         alive = radii > 0

@@ -459,6 +459,11 @@ def _raster_2dgs_binned(cfg, packed, radii, depths):
 def _bin_from_packed(cfg, packed, radii, depths):
     (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
     rows = [packed[r].reshape(C, N) for r in range(NFIX + L)]
+    # NOTE: no AABB tightening here. Unlike the 3DGS conic, a surfel's
+    # alpha >= 1/255 support extends FAR beyond the dual-conic 3-sigma
+    # extents (measured: 5x+ along the plane's vanishing direction), so
+    # the radii circle — the oracle's own observable in_rect bound — is
+    # already the tightest output-exact emission rect.
     ops, slab_required = emit_entries(
         rows[0], rows[1], None, None, None, None, None, radii, depths,
         ts, tw, th, capacity=capA, cull=False, payload_rows=rows,

@@ -46,6 +46,7 @@ def main():
     ap.add_argument("--num-points", type=int, default=2000)
     ap.add_argument("--max-steps", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--backend", default="", choices=["", "oracle", "binned", "tiled"])
     ap.add_argument("--img-path", type=str, default=None)
     ap.add_argument("--save-path", type=str, default=None)
     ap.add_argument("--seed", type=int, default=42)
@@ -73,8 +74,8 @@ def main():
     }
 
     on_tpu = jax.default_backend() == "tpu"
-    isect_capacity = 4 * N * 16 if on_tpu else None
-    backend = "binned" if on_tpu else "oracle"
+    backend = args.backend or ("binned" if on_tpu else "oracle")
+    isect_capacity = 4 * N * 16 if backend != "oracle" else None
 
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)

@@ -181,7 +181,7 @@ def _bwd2_kernel(
     _vz_hbm,
     vgr_hbm,  # [GR, capA2] out: row 0 = gid, 1.. = grads
     ebuf, esem, wbuf, wsem,
-    *, K, P, L, Lp, GR, md, ts, tw, th, native,
+    *, K, P, PB, L, Lp, GR, md, ts, tw, th, native,
 ):
     t = pl.program_id(0)
     off = offs_ref[t]
@@ -189,23 +189,29 @@ def _bwd2_kernel(
     aoff = aoff_ref[t]
     astart = (off // K) * K
     NS = K // LANES
+    # pixel sub-blocks: the slice body's ~35 live [PB, 128] f32 temporaries
+    # (ray-transform rows, cross products, three scans, gradient rows) would
+    # exceed the 16MB scoped VMEM at P = 1024 (ts = 32); processing PB
+    # pixels at a time bounds the live set while the per-entry row sums
+    # accumulate across sub-blocks (VERDICT r2 item 5)
+    NH = P // PB
 
     rem = t % (th * tw)
     ty = rem // tw
     tx = rem % tw
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
-    py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
+    px_all = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
+    py_all = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     last_row = last_ref[0]
-    last = jnp.transpose(last_row, (1, 0))
-    T_fin = jnp.exp(jnp.transpose(logT_ref[0], (1, 0)))
-    vlogT = jnp.transpose(vlogT_ref[0], (1, 0))
-    vdist = jnp.transpose(vdist_ref[0], (1, 0))
-    wm_tot = jnp.transpose(wmtot_ref[0], (1, 0))
+    last_all = jnp.transpose(last_row, (1, 0))
+    T_fin_all = jnp.exp(jnp.transpose(logT_ref[0], (1, 0)))
+    vlogT_all = jnp.transpose(vlogT_ref[0], (1, 0))
+    vdist_all = jnp.transpose(vdist_ref[0], (1, 0))
+    wm_tot_all = jnp.transpose(wmtot_ref[0], (1, 0))
     vaccum = vaccum_ref[0]  # [Lp, P]
-    w_tot = 1.0 - T_fin
+    w_tot_all = 1.0 - T_fin_all
 
     last_max = jnp.max(last_row)
     start_b = (last_max - astart) // K
@@ -243,94 +249,130 @@ def _bwd2_kernel(
             gid = e[-1:, :].astype(jnp.int32)
             op = e[11:12, :]
             feat = e[NFIX : NFIX + Lp, :]
-            sig, use3d, u, v, crz, dx, dy, hu, hv, m = _sigma_2dgs(e, px, py, L)
-            eneg = jnp.exp(-sig)
-            araw = op * eneg
-            alpha = jnp.minimum(araw, ALPHA_MAX)
             gidx = astart + b * K + s * LANES + kidx
             colmask = (gidx >= off) & (gidx < off + n)
-            valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
-            accept = valid & (gidx <= last)
 
-            one_m = jnp.where(accept, 1.0 - alpha, 1.0)
-            S_incl = _cumprod_lanes(one_m, LANES, "rev_incl", native) * S
-            Tk = T_fin / S_incl
-            w = jnp.where(accept, alpha * Tk, 0.0)
+            # per-entry gradient rows accumulate over the pixel sub-blocks;
+            # the per-pixel carries update block-wise (each pixel's chain is
+            # independent of the others)
+            num_acc = None
+            S_new, sG_new, sW_new, sWM_new = [], [], [], []
+            for ph in range(NH):
+                sl = slice(ph * PB, (ph + 1) * PB)
+                px, py = px_all[sl], py_all[sl]
+                last = last_all[sl]
+                T_fin = T_fin_all[sl]
+                vlogT = vlogT_all[sl]
+                vdist = vdist_all[sl]
+                wm_tot = wm_tot_all[sl]
+                w_tot = w_tot_all[sl]
+                vac = vaccum[:, sl]
+                Sh, sGh = S[sl], sG[sl]
+                sWh, sWMh = sW[sl], sWM[sl]
 
-            cv = jax.lax.dot_general(
-                vaccum, feat,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            mrow = e[NFIX + md : NFIX + md + 1, :]
-            wm = w * mrow
-            S_w = _cum_lanes(w, LANES, "rev_excl", native) + sW
-            S_wm = _cum_lanes(wm, LANES, "rev_excl", native) + sWM
-            W_pref = w_tot - w - S_w
-            WM_pref = wm_tot - wm - S_wm
-            G = cv + vdist * 2.0 * (
-                mrow * W_pref - WM_pref + (S_wm - mrow * S_w)
-            )
-            d = w * G
-            S_excl = _cum_lanes(d, LANES, "rev_excl", native) + sG
-
-            v_alpha = jnp.where(
-                accept, Tk * G - (S_excl + vlogT) / one_m, 0.0
-            )
-            notclamp = araw < ALPHA_MAX
-            v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
-            v_op = jnp.sum(
-                jnp.where(notclamp, eneg * v_alpha, 0.0), axis=0, keepdims=True
-            )
-
-            v_feat = jax.lax.dot_general(
-                vaccum, w,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            v_m_extra = jnp.sum(
-                vdist * 2.0 * w * (W_pref - S_w), axis=0, keepdims=True
-            )
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (Lp, LANES), 0)
-            v_feat = v_feat + jnp.where(row_ids == md, v_m_extra, 0.0)
-
-            v_gx = -jnp.sum(
-                jnp.where(use3d, 0.0, 2.0 * dx * v_sig), axis=0, keepdims=True
-            )
-            v_gy = -jnp.sum(
-                jnp.where(use3d, 0.0, 2.0 * dy * v_sig), axis=0, keepdims=True
-            )
-            v_u = jnp.where(use3d, u * v_sig, 0.0)
-            v_v = jnp.where(use3d, v * v_sig, 0.0)
-            v_cr0 = v_u / crz
-            v_cr1 = v_v / crz
-            v_cr2 = -(u * v_u + v * v_v) / crz
-            v_hu = [
-                hv[1] * v_cr2 - hv[2] * v_cr1,
-                hv[2] * v_cr0 - hv[0] * v_cr2,
-                hv[0] * v_cr1 - hv[1] * v_cr0,
-            ]
-            v_hv = [
-                v_cr1 * hu[2] - v_cr2 * hu[1],
-                v_cr2 * hu[0] - v_cr0 * hu[2],
-                v_cr0 * hu[1] - v_cr1 * hu[0],
-            ]
-            v_M = []
-            for c in range(3):
-                v_M.append(-jnp.sum(v_hu[c], axis=0, keepdims=True))
-            for c in range(3):
-                v_M.append(-jnp.sum(v_hv[c], axis=0, keepdims=True))
-            for c in range(3):
-                v_M.append(
-                    jnp.sum(px * v_hu[c] + py * v_hv[c], axis=0, keepdims=True)
+                sig, use3d, u, v, crz, dx, dy, hu, hv, m = _sigma_2dgs(
+                    e, px, py, L
                 )
+                eneg = jnp.exp(-sig)
+                araw = op * eneg
+                alpha = jnp.minimum(araw, ALPHA_MAX)
+                valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+                accept = valid & (gidx <= last)
+
+                one_m = jnp.where(accept, 1.0 - alpha, 1.0)
+                S_incl = _cumprod_lanes(one_m, LANES, "rev_incl", native) * Sh
+                Tk = T_fin / S_incl
+                w = jnp.where(accept, alpha * Tk, 0.0)
+
+                cv = jax.lax.dot_general(
+                    vac, feat,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                mrow = e[NFIX + md : NFIX + md + 1, :]
+                wm = w * mrow
+                S_w = _cum_lanes(w, LANES, "rev_excl", native) + sWh
+                S_wm = _cum_lanes(wm, LANES, "rev_excl", native) + sWMh
+                W_pref = w_tot - w - S_w
+                WM_pref = wm_tot - wm - S_wm
+                G = cv + vdist * 2.0 * (
+                    mrow * W_pref - WM_pref + (S_wm - mrow * S_w)
+                )
+                d = w * G
+                S_excl = _cum_lanes(d, LANES, "rev_excl", native) + sGh
+
+                v_alpha = jnp.where(
+                    accept, Tk * G - (S_excl + vlogT) / one_m, 0.0
+                )
+                notclamp = araw < ALPHA_MAX
+                v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
+                v_op = jnp.sum(
+                    jnp.where(notclamp, eneg * v_alpha, 0.0),
+                    axis=0, keepdims=True,
+                )
+
+                v_feat = jax.lax.dot_general(
+                    vac, w,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                v_m_extra = jnp.sum(
+                    vdist * 2.0 * w * (W_pref - S_w), axis=0, keepdims=True
+                )
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (Lp, LANES), 0)
+                v_feat = v_feat + jnp.where(row_ids == md, v_m_extra, 0.0)
+
+                v_gx = -jnp.sum(
+                    jnp.where(use3d, 0.0, 2.0 * dx * v_sig),
+                    axis=0, keepdims=True,
+                )
+                v_gy = -jnp.sum(
+                    jnp.where(use3d, 0.0, 2.0 * dy * v_sig),
+                    axis=0, keepdims=True,
+                )
+                v_u = jnp.where(use3d, u * v_sig, 0.0)
+                v_v = jnp.where(use3d, v * v_sig, 0.0)
+                v_cr0 = v_u / crz
+                v_cr1 = v_v / crz
+                v_cr2 = -(u * v_u + v * v_v) / crz
+                v_hu = [
+                    hv[1] * v_cr2 - hv[2] * v_cr1,
+                    hv[2] * v_cr0 - hv[0] * v_cr2,
+                    hv[0] * v_cr1 - hv[1] * v_cr0,
+                ]
+                v_hv = [
+                    v_cr1 * hu[2] - v_cr2 * hu[1],
+                    v_cr2 * hu[0] - v_cr0 * hu[2],
+                    v_cr0 * hu[1] - v_cr1 * hu[0],
+                ]
+                v_M = []
+                for c in range(3):
+                    v_M.append(-jnp.sum(v_hu[c], axis=0, keepdims=True))
+                for c in range(3):
+                    v_M.append(-jnp.sum(v_hv[c], axis=0, keepdims=True))
+                for c in range(3):
+                    v_M.append(
+                        jnp.sum(
+                            px * v_hu[c] + py * v_hv[c],
+                            axis=0, keepdims=True,
+                        )
+                    )
+
+                num = jnp.concatenate(
+                    [v_gx, v_gy] + v_M + [v_op, v_feat], axis=0
+                )
+                num_acc = num if num_acc is None else num_acc + num
+                S_new.append(S_incl[:, 0:1])
+                sG_new.append(sGh + jnp.sum(d, axis=1, keepdims=True))
+                sW_new.append(sWh + jnp.sum(w, axis=1, keepdims=True))
+                sWM_new.append(sWMh + jnp.sum(wm, axis=1, keepdims=True))
 
             rows = [
                 jnp.where(colmask, gid, jnp.int32(1 << 24)).astype(jnp.float32),
-                v_gx, v_gy,
-            ] + v_M + [v_op, v_feat]
+                num_acc,
+            ]
             used = 1 + 2 + 9 + 1 + Lp
             if GR > used:
                 rows.append(jnp.zeros((GR - used, LANES), jnp.float32))
@@ -338,10 +380,11 @@ def _bwd2_kernel(
                 rows, axis=0
             )
 
-            S = S_incl[:, 0:1]
-            sG = sG + jnp.sum(d, axis=1, keepdims=True)
-            sW = sW + jnp.sum(w, axis=1, keepdims=True)
-            sWM = sWM + jnp.sum(wm, axis=1, keepdims=True)
+            cat = (lambda xs: xs[0] if NH == 1 else jnp.concatenate(xs, axis=0))
+            S = cat(S_new)
+            sG = cat(sG_new)
+            sW = cat(sW_new)
+            sWM = cat(sWM_new)
 
         wcopy(b, wslot).start()
         return S, sG, sW, sWM
@@ -429,7 +472,8 @@ def _bwd2_call(
         ],
     )
     kernel = functools.partial(
-        _bwd2_kernel, K=KB, P=P, L=L, Lp=Lp, GR=GR, md=md, ts=ts, tw=tw,
+        _bwd2_kernel, K=KB, P=P, PB=min(P, 256), L=L, Lp=Lp, GR=GR, md=md,
+        ts=ts, tw=tw,
         th=th, native=not interpret,
     )
     vzero = jnp.concatenate(

@@ -16,6 +16,13 @@ and distributed rasterization protocol (gsplat/rendering.py:295-494):
   and rasterization is sharded over cameras. ``shard_map`` autodiff
   differentiates through the collective, and on TPU the all-to-all rides ICI.
 
+All three rasterizer backends run under the mesh — ``oracle`` (jnp, CPU
+parity tests), ``tiled`` (round-1 Pallas) and ``binned`` (the flagship
+Pallas engine; the exchange produces exactly the SoA [C/n, N*n] rows its
+emitter consumes). The same applies to the 2DGS surfel pipeline
+(:func:`rasterization_2dgs_distributed`), matching the reference's
+backend-agnostic distributed protocol (gsplat/rendering.py:413-494, 1018+).
+
 Constraints (same as the reference, rendering.py:305-306): the number of
 cameras must be divisible by the mesh axis size; per-Gaussian colors only.
 
@@ -28,7 +35,6 @@ launcher (gsplat/distributed.py:304-360).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -51,6 +57,71 @@ from .ops.rasterize_ref import rasterize_to_pixels_ref
 from .ops.sh import spherical_harmonics
 
 
+def _raster_rows(
+    backend, mean_x, mean_y, depth, con_a, con_b, con_c, radii, opac,
+    cols, width, height, tile_size, isect_capacity, bg, abs_carrier,
+):
+    """Per-shard 3DGS rasterization over exchanged SoA rows.
+
+    Returns (render, alphas, n_isects, slab_required) — the latter two are
+    scalars for this shard's capacity-growth feedback (zeros for oracle).
+    """
+    if backend == "binned":
+        from .ops.rasterize_binned import rasterize_to_pixels_binned
+
+        render, alphas, aux = rasterize_to_pixels_binned(
+            (mean_x, mean_y), (con_a, con_b, con_c), cols, opac,
+            radii, depth, width, height, tile_size,
+            capacity=isect_capacity, backgrounds=bg, abs_carrier=abs_carrier,
+        )
+        return render, alphas, aux["n_isects"], aux["slab_required"]
+    if backend == "tiled":
+        from .ops.rasterize_tiled import rasterize_to_pixels_tiled
+
+        tile_width = math.ceil(width / tile_size)
+        tile_height = math.ceil(height / tile_size)
+        isect = isect_tiles(
+            (mean_x, mean_y), radii, depth, tile_size,
+            tile_width, tile_height, capacity=isect_capacity,
+        )
+        render, alphas = rasterize_to_pixels_tiled(
+            (mean_x, mean_y), (con_a, con_b, con_c), cols, opac,
+            width, height, tile_size, isect, backgrounds=bg,
+            abs_carrier=abs_carrier,
+        )
+        return render, alphas, isect.n_isects, isect.n_isects
+    assert backend == "oracle", backend
+    means2d = jnp.stack([mean_x, mean_y], axis=-1)
+    conics = jnp.stack([con_a, con_b, con_c], axis=-1)
+    if abs_carrier is not None:
+        from .ops.rasterize_ref import rasterize_to_pixels_ref_absgrad
+
+        carrier = jnp.stack(abs_carrier, axis=-1)
+        bg_ = bg if bg is not None else jnp.zeros(
+            (cols.shape[0], cols.shape[-1]), cols.dtype
+        )
+        render, alphas = rasterize_to_pixels_ref_absgrad(
+            means2d, conics, cols, opac, radii, depth,
+            width, height, tile_size, bg_, carrier,
+        )
+    else:
+        render, alphas = rasterize_to_pixels_ref(
+            means2d, conics, cols, opac, radii, depth,
+            width, height, tile_size, bg,
+        )
+    zero = jnp.zeros((), jnp.int32)
+    return render, alphas, zero, zero
+
+
+def _shard_backgrounds(backgrounds, axis, C, n_shards):
+    if backgrounds is None:
+        return None
+    idx = lax.axis_index(axis)
+    return lax.dynamic_slice_in_dim(
+        backgrounds, idx * (C // n_shards), C // n_shards, axis=0
+    )
+
+
 def rasterization_distributed(
     means: jax.Array,  # [N, 3] sharded over `axis`
     quats: jax.Array,  # [N, 4]
@@ -70,11 +141,13 @@ def rasterization_distributed(
     eps2d: float = 0.3,
     tile_size: int = 16,
     backgrounds: Optional[jax.Array] = None,  # [C, D]
+    render_mode: str = "RGB",
     backend: str = "auto",
     isect_capacity: Optional[int] = None,  # per-shard capacity
     masks: Optional[jax.Array] = None,  # [N] bool
     means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros, N-sharded
     per_camera_colors: bool = False,  # colors is [C, N, D] (N-sharded)
+    absgrad: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Distributed rasterization: Gaussian-sharded projection, camera-sharded
     rasterization, differentiable all-to-all exchange.
@@ -83,8 +156,18 @@ def rasterization_distributed(
     [C, N, D] (e.g. from an appearance module, reference
     simple_trainer.py:380-410 DDP path) — it rides the exchange as-is.
 
-    Returns (render_colors [C, H, W, D], render_alphas [C, H, W, 1], meta)
-    with the camera axis sharded over `axis`.
+    ``render_mode`` supports the depth-augmented modes ("RGB+D"/"RGB+ED"/
+    "D"/"ED"): the owner shard appends its per-(camera, gaussian) depth as
+    the last color channel pre-exchange, and the expected-depth division
+    runs on the gathered camera-sharded output (gsplat/rendering.py:574-585).
+
+    ``absgrad=True`` routes ``means2d_carrier`` through the exchange into
+    the backward kernels' per-tile |d mu2d| accumulation instead of adding
+    it to the projected means (same semantics as ``rasterization``).
+
+    Returns (render_colors [C, H, W, D(+1)], render_alphas [C, H, W, 1],
+    meta) with the camera axis sharded over `axis`. ``meta["slab_required"]``
+    is the max per-shard capacity requirement for the out-of-jit growth loop.
     """
     n_shards = mesh.shape[axis]
     C = viewmats.shape[0]
@@ -94,7 +177,7 @@ def rasterization_distributed(
         "— same constraint as the reference (gsplat/rendering.py:305-306)"
     )
     if backend == "auto":
-        backend = "tiled" if isect_capacity is not None else "oracle"
+        backend = "binned" if isect_capacity is not None else "oracle"
 
     if per_camera_colors:
         assert sh_degree is None
@@ -121,8 +204,8 @@ def rasterization_distributed(
     # render/alphas camera-sharded; radii stay owner-side (N-sharded) so the
     # caller gets true per-Gaussian visibility for SelectiveAdam and
     # densification stats (the reference's info["radii"],
-    # gsplat/rendering.py:353-365); n_isects is per-shard.
-    out_specs = (P(axis), P(axis), P(None, axis), P(axis))
+    # gsplat/rendering.py:353-365); n_isects/slab_required are per-shard.
+    out_specs = (P(axis), P(axis), P(None, axis), P(axis), P(axis))
 
     def a2a(x):
         # [C, N_local, ...] -> [C / n, N_local * n, ...]: camera-split,
@@ -141,7 +224,7 @@ def rasterization_distributed(
         radii = proj["radii"]
         if live is not None:
             radii = jnp.where(live[None, :], radii, 0)
-        if carrier is not None:
+        if carrier is not None and not absgrad:
             # densification gradient carrier, applied by the Gaussian's
             # owner shard pre-exchange (so its cotangent is N-sharded too)
             proj = dict(proj)
@@ -163,7 +246,17 @@ def rasterization_distributed(
             colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
             colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
 
+        # depth channel augmentation, owner-side (depth is per-(cam, gauss))
+        if render_mode in ("RGB+D", "RGB+ED"):
+            colors_cn = jnp.concatenate(
+                [colors_cn, proj["depth"][..., None]], axis=-1
+            )
+        elif render_mode in ("D", "ED"):
+            colors_cn = proj["depth"][..., None]
+
         opac_cn = jnp.broadcast_to(opacities[None, :], (C, n_local))
+        if "compensation" in proj:
+            opac_cn = opac_cn * proj["compensation"]
 
         # exchange: every per-(camera, gaussian) payload moves to the shard
         # that rasterizes the camera (gsplat/rendering.py:413-494)
@@ -176,38 +269,20 @@ def rasterization_distributed(
         radii_g = a2a(radii)
         opac_g = a2a(opac_cn)
         cols_g = a2a(colors_cn)
+        abs_c = None
+        if carrier is not None and absgrad:
+            abs_c = (a2a(carrier[..., 0]), a2a(carrier[..., 1]))
 
-        bg = None
-        if backgrounds is not None:
-            # static per-shard camera slice
-            idx = lax.axis_index(axis)
-            bg = lax.dynamic_slice_in_dim(
-                backgrounds, idx * (C // n_shards), C // n_shards, axis=0
-            )
-
-        if backend == "tiled":
-            from .ops.rasterize_tiled import rasterize_to_pixels_tiled
-
-            tile_width = math.ceil(width / tile_size)
-            tile_height = math.ceil(height / tile_size)
-            isect = isect_tiles(
-                (mean_x, mean_y), radii_g, depth, tile_size,
-                tile_width, tile_height, capacity=isect_capacity,
-            )
-            render, alphas = rasterize_to_pixels_tiled(
-                (mean_x, mean_y), (con_a, con_b, con_c), cols_g, opac_g,
-                width, height, tile_size, isect, backgrounds=bg,
-            )
-            n_isects = isect.n_isects[None]
-        else:
-            means2d = jnp.stack([mean_x, mean_y], axis=-1)
-            conics = jnp.stack([con_a, con_b, con_c], axis=-1)
-            render, alphas = rasterize_to_pixels_ref(
-                means2d, conics, cols_g, opac_g, radii_g, depth,
-                width, height, tile_size, bg,
-            )
-            n_isects = jnp.zeros((1,), jnp.int32)
-        return render, alphas, jax.lax.stop_gradient(radii), n_isects
+        bg = _shard_backgrounds(backgrounds, axis, C, n_shards)
+        render, alphas, n_isects, slab = _raster_rows(
+            backend, mean_x, mean_y, depth, con_a, con_b, con_c,
+            radii_g, opac_g, cols_g, width, height, tile_size,
+            isect_capacity, bg, abs_c,
+        )
+        return (
+            render, alphas, jax.lax.stop_gradient(radii),
+            n_isects[None], slab[None],
+        )
 
     fn = shard_map(_render, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     args = (means, quats, scales, opacities, colors, viewmats, Ks)
@@ -215,7 +290,17 @@ def rasterization_distributed(
         args = args + (masks,)
     if means2d_carrier is not None:
         args = args + (means2d_carrier,)
-    render, alphas, radii, n_isects = fn(*args)
+    render, alphas, radii, n_isects, slab = fn(*args)
+
+    if render_mode in ("ED", "RGB+ED"):
+        render = jnp.concatenate(
+            [
+                render[..., :-1],
+                render[..., -1:] / jnp.clip(alphas, 1e-10, None),
+            ],
+            axis=-1,
+        )
+
     meta = {
         "width": width,
         "height": height,
@@ -225,6 +310,8 @@ def rasterization_distributed(
         "radii": radii,
         # per-shard intersection counts [n_shards]
         "n_isects": n_isects,
+        # max per-shard slab/entry budget: feed back into isect_capacity
+        "slab_required": jnp.max(slab),
     }
     return render, alphas, meta
 
@@ -249,10 +336,12 @@ def rasterization_distributed_packed(
     eps2d: float = 0.3,
     tile_size: int = 16,
     backgrounds: Optional[jax.Array] = None,  # [C, D]
+    render_mode: str = "RGB",
     backend: str = "auto",
     isect_capacity: Optional[int] = None,
     masks: Optional[jax.Array] = None,  # [N] bool
     means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2], N-sharded
+    absgrad: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Packed (fixed-capacity) distributed rasterization.
 
@@ -279,7 +368,7 @@ def rasterization_distributed_packed(
     C = viewmats.shape[0]
     assert C % n_shards == 0
     if backend == "auto":
-        backend = "tiled" if isect_capacity is not None else "oracle"
+        backend = "binned" if isect_capacity is not None else "oracle"
 
     if sh_degree is not None:
         color_spec = P(axis, None, None)
@@ -295,7 +384,7 @@ def rasterization_distributed_packed(
         P(axis, None), P(axis, None), P(axis, None), P(axis), color_spec,
         P(), P(),
     ) + extra_specs
-    out_specs = (P(axis), P(axis), P(None, axis), P(axis), P(axis))
+    out_specs = (P(axis), P(axis), P(None, axis), P(axis), P(axis), P(axis))
 
     def a2a(x):
         return lax.all_to_all(x, axis, split_axis=0, concat_axis=1, tiled=True)
@@ -312,7 +401,7 @@ def rasterization_distributed_packed(
         radii = proj["radii"]
         if live is not None:
             radii = jnp.where(live[None, :], radii, 0)
-        if carrier is not None:
+        if carrier is not None and not absgrad:
             proj = dict(proj)
             proj["mean_x"] = proj["mean_x"] + carrier[..., 0]
             proj["mean_y"] = proj["mean_y"] + carrier[..., 1]
@@ -328,6 +417,12 @@ def rasterization_distributed_packed(
             shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
             colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
             colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
+        if render_mode in ("RGB+D", "RGB+ED"):
+            colors_cn = jnp.concatenate(
+                [colors_cn, proj["depth"][..., None]], axis=-1
+            )
+        elif render_mode in ("D", "ED"):
+            colors_cn = proj["depth"][..., None]
         D = colors_cn.shape[-1]
 
         vis = radii > 0  # [C, n_local]
@@ -344,13 +439,17 @@ def rasterization_distributed_packed(
             radii.astype(jnp.float32),
             jnp.broadcast_to(opacities[None, :], (C, n_local)),
         ] + [colors_cn[..., d] for d in range(D)]
+        n_abs = 0
+        if carrier is not None and absgrad:
+            rows += [carrier[..., 0], carrier[..., 1]]
+            n_abs = 2
         sorted_ops = jax.lax.sort(
             (key,) + tuple(rows), num_keys=1, is_stable=True, dimension=1
         )
         cap = min(pack_capacity, n_local)
         packed = [op[:, :cap] for op in sorted_ops[1:]]
         (mean_x, mean_y, depth, con_a, con_b, con_c, radf, opac_p) = packed[:8]
-        cols_p = jnp.stack(packed[8:], axis=-1)
+        cols_p = jnp.stack(packed[8 : 8 + D], axis=-1)
         # truncation/padding guard: slots past the per-camera visible count
         # are culled via radii=0 (their payloads are sorted-invisible rows)
         slot_ok = (
@@ -368,39 +467,19 @@ def rasterization_distributed_packed(
         radii_g = a2a(radii_p)
         opac_g = a2a(opac_p)
         cols_g = a2a(cols_p)
+        abs_c = None
+        if n_abs:
+            abs_c = (a2a(packed[8 + D]), a2a(packed[9 + D]))
 
-        bg = None
-        if backgrounds is not None:
-            idx = lax.axis_index(axis)
-            bg = lax.dynamic_slice_in_dim(
-                backgrounds, idx * (C // n_shards), C // n_shards, axis=0
-            )
-
-        if backend == "tiled":
-            from .ops.rasterize_tiled import rasterize_to_pixels_tiled
-
-            tile_width = math.ceil(width / tile_size)
-            tile_height = math.ceil(height / tile_size)
-            isect = isect_tiles(
-                (mean_x, mean_y), radii_g, depth, tile_size,
-                tile_width, tile_height, capacity=isect_capacity,
-            )
-            render, alphas = rasterize_to_pixels_tiled(
-                (mean_x, mean_y), (con_a, con_b, con_c), cols_g, opac_g,
-                width, height, tile_size, isect, backgrounds=bg,
-            )
-            n_isects = isect.n_isects[None]
-        else:
-            means2d = jnp.stack([mean_x, mean_y], axis=-1)
-            conics = jnp.stack([con_a, con_b, con_c], axis=-1)
-            render, alphas = rasterize_to_pixels_ref(
-                means2d, conics, cols_g, opac_g, radii_g, depth,
-                width, height, tile_size, bg,
-            )
-            n_isects = jnp.zeros((1,), jnp.int32)
+        bg = _shard_backgrounds(backgrounds, axis, C, n_shards)
+        render, alphas, n_isects, slab = _raster_rows(
+            backend, mean_x, mean_y, depth, con_a, con_b, con_c,
+            radii_g, opac_g, cols_g, width, height, tile_size,
+            isect_capacity, bg, abs_c,
+        )
         return (
-            render, alphas, jax.lax.stop_gradient(radii), n_isects,
-            pack_required[None],
+            render, alphas, jax.lax.stop_gradient(radii), n_isects[None],
+            slab[None], pack_required[None],
         )
 
     fn = shard_map(_render, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
@@ -409,15 +488,274 @@ def rasterization_distributed_packed(
         args = args + (masks,)
     if means2d_carrier is not None:
         args = args + (means2d_carrier,)
-    render, alphas, radii, n_isects, pack_required = fn(*args)
+    render, alphas, radii, n_isects, slab, pack_required = fn(*args)
+
+    if render_mode in ("ED", "RGB+ED"):
+        render = jnp.concatenate(
+            [
+                render[..., :-1],
+                render[..., -1:] / jnp.clip(alphas, 1e-10, None),
+            ],
+            axis=-1,
+        )
+
     meta = {
         "width": width,
         "height": height,
         "n_cameras": C,
         "radii": radii,
         "n_isects": n_isects,
+        "slab_required": jnp.max(slab),
         # max owner-side visible count per camera across shards: feed back
         # into pack_capacity out-of-jit (the truncation signal)
         "pack_required": jnp.max(pack_required),
     }
     return render, alphas, meta
+
+
+def rasterization_2dgs_distributed(
+    means: jax.Array,  # [N, 3] sharded over `axis`
+    quats: jax.Array,  # [N, 4]
+    scales: jax.Array,  # [N, 3]
+    opacities: jax.Array,  # [N]
+    colors: jax.Array,  # [N, D] or [N, K, 3] (per-Gaussian only)
+    viewmats: jax.Array,  # [C, 4, 4] replicated
+    Ks: jax.Array,  # [C, 3, 3] replicated
+    width: int,
+    height: int,
+    mesh: Mesh,
+    axis: str = "gauss",
+    sh_degree: Optional[int] = None,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    tile_size: int = 16,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+    render_mode: str = "RGB",
+    distloss: bool = False,
+    depth_mode: str = "expected",
+    backend: str = "auto",
+    isect_capacity: Optional[int] = None,  # per-shard capacity
+    masks: Optional[jax.Array] = None,  # [N] bool
+    densify_carrier: Optional[jax.Array] = None,  # [C, N, 2], N-sharded
+    per_camera_colors: bool = False,
+):
+    """Distributed 2DGS (surfel) rasterization under the same protocol:
+    Gaussian-sharded surfel projection, all-to-all exchange of the ray
+    transform / normal / color rows, camera-sharded rasterization.
+
+    The reference trains 2DGS through the same distributed machinery as
+    3DGS (gsplat/rendering.py:1018+ uses the world_rank/world_size exchange
+    for its projection outputs); here the surfel rows simply ride the same
+    dense exchange the 3DGS path uses.
+
+    Returns the :func:`gsplat_tpu.rendering.rasterization_2dgs` 7-tuple
+    (render_colors, render_alphas, render_normals [world frame],
+    normals_from_depth, render_distort, render_median, meta), every image
+    output camera-sharded over ``axis``; ``meta["radii"]`` is the owner-side
+    [C, N] visibility and ``meta["slab_required"]`` the max per-shard
+    capacity requirement.
+    """
+    from .ops.projection_2dgs import fully_fused_projection_2dgs_soa
+
+    n_shards = mesh.shape[axis]
+    C = viewmats.shape[0]
+    assert C % n_shards == 0, (
+        f"#cameras ({C}) must be divisible by mesh axis '{axis}' ({n_shards})"
+    )
+    if backend == "auto":
+        backend = "binned" if isect_capacity is not None else "oracle"
+
+    if per_camera_colors:
+        assert sh_degree is None
+        color_spec = P(None, axis, None)
+    elif sh_degree is not None:
+        color_spec = P(axis, None, None)
+    else:
+        color_spec = P(axis, None)
+    extra_specs = ()
+    if masks is not None:
+        extra_specs = extra_specs + (P(axis),)
+    if densify_carrier is not None:
+        extra_specs = extra_specs + (P(None, axis, None),)
+
+    in_specs = (
+        P(axis, None), P(axis, None), P(axis, None), P(axis), color_spec,
+        P(), P(),
+    ) + extra_specs
+    # render, alphas, normals, distort, median camera-sharded; radii
+    # owner-side; n_isects / slab per-shard
+    out_specs = (
+        P(axis), P(axis), P(axis), P(axis), P(axis),
+        P(None, axis), P(axis), P(axis),
+    )
+
+    def a2a(x):
+        return lax.all_to_all(x, axis, split_axis=0, concat_axis=1, tiled=True)
+
+    M_KEYS = [f"m{r}{c}" for r in range(3) for c in range(3)]
+
+    def _render(means, quats, scales, opacities, colors, viewmats, Ks, *rest):
+        rest = list(rest)
+        live = rest.pop(0) if masks is not None else None
+        carrier = rest.pop(0) if densify_carrier is not None else None
+        proj = fully_fused_projection_2dgs_soa(
+            means, quats, scales, viewmats, Ks, width, height,
+            near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip,
+        )
+        radii = proj["radii"]
+        if live is not None:
+            radii = jnp.where(live[None, :], radii, 0)
+        mean_x, mean_y = proj["mean_x"], proj["mean_y"]
+        if carrier is not None:
+            mean_x = mean_x + carrier[..., 0]
+            mean_y = mean_y + carrier[..., 1]
+        n_local = means.shape[0]
+
+        if per_camera_colors:
+            colors_cn = colors
+        elif sh_degree is None:
+            colors_cn = jnp.broadcast_to(
+                colors[None], (C, n_local, colors.shape[-1])
+            )
+        else:
+            camtoworlds = jnp.linalg.inv(viewmats)
+            dirs = means[None, :, :] - camtoworlds[:, None, :3, 3]
+            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
+            colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
+
+        # depth channel layout matches rasterization_2dgs exactly: the
+        # kernels read the LAST channel as depth for distortion/median
+        if render_mode in ("RGB+D", "RGB+ED"):
+            colors_cn = jnp.concatenate(
+                [colors_cn, proj["depth"][..., None]], axis=-1
+            )
+        elif render_mode in ("D", "ED"):
+            colors_cn = proj["depth"][..., None]
+
+        # exchange the surfel rows
+        mean_x = a2a(mean_x)
+        mean_y = a2a(mean_y)
+        depth = a2a(proj["depth"])
+        mrows = tuple(a2a(proj[k]) for k in M_KEYS)
+        nrows = tuple(a2a(proj[k]) for k in ("normal_x", "normal_y", "normal_z"))
+        radii_g = a2a(radii)
+        opac_g = a2a(jnp.broadcast_to(opacities[None, :], (C, n_local)))
+        cols_g = a2a(colors_cn)
+        normals_g = jnp.stack(nrows, axis=-1)
+
+        bg = _shard_backgrounds(backgrounds, axis, C, n_shards)
+        zero = jnp.zeros((), jnp.int32)
+        if backend == "binned":
+            from .ops.rasterize_2dgs_binned import rasterize_to_pixels_2dgs_binned
+
+            (
+                render, alphas, normals_img, distort, median, aux
+            ) = rasterize_to_pixels_2dgs_binned(
+                (mean_x, mean_y), mrows, cols_g, normals_g, opac_g,
+                radii_g, depth, width, height, tile_size,
+                capacity=isect_capacity, backgrounds=bg,
+            )
+            n_isects, slab = aux["n_isects"], aux["slab_required"]
+        elif backend == "tiled":
+            from .ops.rasterize_2dgs_tiled import rasterize_to_pixels_2dgs_tiled
+
+            tile_width = math.ceil(width / tile_size)
+            tile_height = math.ceil(height / tile_size)
+            isect = isect_tiles(
+                (mean_x, mean_y), radii_g, depth, tile_size,
+                tile_width, tile_height, capacity=isect_capacity,
+            )
+            means2d = jnp.stack([mean_x, mean_y], axis=-1)
+            rt = jnp.stack(
+                [jnp.stack(mrows[r * 3 : r * 3 + 3], axis=-1) for r in range(3)],
+                axis=-2,
+            )
+            (
+                render, alphas, normals_img, distort, median
+            ) = rasterize_to_pixels_2dgs_tiled(
+                means2d, rt, cols_g, normals_g, opac_g,
+                width, height, tile_size, isect, bg,
+            )
+            n_isects, slab = isect.n_isects, isect.n_isects
+        else:
+            from .ops.rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
+
+            means2d = jnp.stack([mean_x, mean_y], axis=-1)
+            rt = jnp.stack(
+                [jnp.stack(mrows[r * 3 : r * 3 + 3], axis=-1) for r in range(3)],
+                axis=-2,
+            )
+            (
+                render, alphas, normals_img, distort, median
+            ) = rasterize_to_pixels_2dgs_ref(
+                means2d, rt, cols_g, normals_g, opac_g, radii_g, depth,
+                width, height, tile_size, bg,
+            )
+            n_isects, slab = zero, zero
+        return (
+            render, alphas, normals_img, distort, median,
+            jax.lax.stop_gradient(radii), n_isects[None], slab[None],
+        )
+
+    fn = shard_map(_render, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    args = (means, quats, scales, opacities, colors, viewmats, Ks)
+    if masks is not None:
+        args = args + (masks,)
+    if densify_carrier is not None:
+        args = args + (densify_carrier,)
+    (
+        render_colors, render_alphas, render_normals, render_distort,
+        render_median, radii, n_isects, slab,
+    ) = fn(*args)
+
+    # post-processing on the gathered (camera-sharded) outputs, identical
+    # to rasterization_2dgs — elementwise, so XLA keeps the sharding
+    if render_mode in ("ED", "RGB+ED"):
+        render_colors = jnp.concatenate(
+            [
+                render_colors[..., :-1],
+                render_colors[..., -1:]
+                / jnp.clip(render_alphas, 1e-10, None),
+            ],
+            axis=-1,
+        )
+
+    from .utils import depth_to_normal
+
+    normals_from_depth = None
+    if render_mode in ("RGB+D", "RGB+ED"):
+        if depth_mode == "expected":
+            depth_for_normal = render_colors[..., -1:]
+        elif depth_mode == "median":
+            depth_for_normal = render_median
+        else:
+            raise ValueError(f"Unknown depth_mode: {depth_mode}")
+        camtoworlds = jnp.linalg.inv(viewmats)
+        normals_from_depth = depth_to_normal(depth_for_normal, camtoworlds, Ks)
+
+    if not distloss:
+        render_distort = jnp.zeros_like(jax.lax.stop_gradient(render_distort))
+
+    R_wc = jnp.swapaxes(viewmats[:, :3, :3], -1, -2)
+    render_normals = jnp.einsum("cij,chwj->chwi", R_wc, render_normals)
+
+    meta = {
+        "width": width,
+        "height": height,
+        "n_cameras": C,
+        "radii": radii,
+        "n_isects": n_isects,
+        "slab_required": jnp.max(slab),
+    }
+    return (
+        render_colors,
+        render_alphas,
+        render_normals,
+        normals_from_depth,
+        render_distort,
+        render_median,
+        meta,
+    )

@@ -44,7 +44,18 @@ def mesh():
     return Mesh(devices, ("gauss",))
 
 
-def test_distributed_matches_single_device(rng, mesh):
+# every rasterizer backend must run under the mesh (the reference's
+# distributed protocol is backend-agnostic, gsplat/rendering.py:413-494);
+# tiled/binned run their Pallas kernels in interpret mode per-shard
+BACKENDS = ["oracle", "tiled", "binned"]
+
+
+def _cap(backend):
+    return None if backend == "oracle" else 32768
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_distributed_matches_single_device(rng, mesh, backend):
     means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(rng)
     args = tuple(
         jnp.asarray(x) for x in (means, quats, scales, opac, colors)
@@ -58,7 +69,8 @@ def test_distributed_matches_single_device(rng, mesh):
     sharded = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
     r1, a1, m1 = jax.jit(
         lambda *a: rasterization_distributed(
-            *a, vm, K, W, H, mesh=mesh, backgrounds=bg
+            *a, vm, K, W, H, mesh=mesh, backgrounds=bg,
+            backend=backend, isect_capacity=_cap(backend),
         )
     )(*sharded)
 
@@ -70,9 +82,14 @@ def test_distributed_matches_single_device(rng, mesh):
     np.testing.assert_array_equal(
         np.asarray(m1["radii"]), np.asarray(m0["radii"])
     )
+    if backend == "binned":
+        # the per-shard slab budget signal must be live for the trainer's
+        # capacity-growth loop
+        assert int(m1["slab_required"]) > 0
 
 
-def test_distributed_gradients_match(rng, mesh):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_distributed_gradients_match(rng, mesh, backend):
     means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
         rng, N=128, C=8, W=32, H=32
     )
@@ -87,7 +104,10 @@ def test_distributed_gradients_match(rng, mesh):
         return jnp.sum(r * wr) + jnp.sum(al)
 
     def loss_dist(*a):
-        r, al, _ = rasterization_distributed(*a, vm, K, W, H, mesh=mesh)
+        r, al, _ = rasterization_distributed(
+            *a, vm, K, W, H, mesh=mesh,
+            backend=backend, isect_capacity=_cap(backend),
+        )
         return jnp.sum(r * wr) + jnp.sum(al)
 
     g0 = jax.grad(loss_single, argnums=(0, 1, 2, 3, 4))(*args)
@@ -102,6 +122,157 @@ def test_distributed_gradients_match(rng, mesh):
         np.testing.assert_allclose(
             x, y, atol=2e-4 * s, rtol=2e-4, err_msg=f"grad {n}"
         )
+
+
+def test_distributed_depth_and_absgrad(rng, mesh):
+    """render_mode="RGB+ED" (depth_loss path) and the absgrad carrier both
+    ride the exchange; compare against the single-device rasterization."""
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=128, C=8, W=32, H=32
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    C = viewmats.shape[0]
+    N = means.shape[0]
+    carrier = jnp.zeros((C, N, 2), jnp.float32)
+    wr = jnp.asarray(
+        rng.standard_normal((C, H, W, 4)).astype(np.float32)
+    )
+
+    def loss_single(carrier, *a):
+        r, al, _ = rasterization(
+            *a, vm, K, W, H, render_mode="RGB+ED",
+            means2d_carrier=carrier, absgrad=True,
+        )
+        return jnp.sum(r * wr) + jnp.sum(al)
+
+    def loss_dist(carrier, *a):
+        r, al, _ = rasterization_distributed(
+            *a, vm, K, W, H, mesh=mesh, render_mode="RGB+ED",
+            means2d_carrier=carrier, absgrad=True,
+        )
+        return jnp.sum(r * wr) + jnp.sum(al)
+
+    (l0, g0) = jax.value_and_grad(loss_single)(carrier, *args)
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    carrier_s = jax.device_put(
+        carrier, NamedSharding(mesh, P(None, "gauss", None))
+    )
+    (l1, g1) = jax.jit(jax.value_and_grad(loss_dist))(carrier_s, *sharded)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    # the absgrad statistic (per-tile |d mu2d| accumulation) must match;
+    # scale-relative atol: the depth channel's near-cancelling tile sums
+    # amplify f32 reassociation noise (fusion differs across the shard_map
+    # boundary), same comparison style as the other gradient tests
+    s = max(float(jnp.abs(g0).max()), 1.0)
+    np.testing.assert_allclose(g0, g1, atol=2e-4 * s, rtol=2e-4)
+
+
+def test_distributed_2dgs_matches_single_device(rng, mesh):
+    """2DGS surfel rows through the exchange: images, normals, median and
+    gradients vs the single-device rasterization_2dgs oracle."""
+    from gsplat_tpu.distributed import rasterization_2dgs_distributed
+    from gsplat_tpu.rendering import rasterization_2dgs
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=128, C=8, W=32, H=32
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+
+    r0, a0, n0, nfd0, d0, md0, m0 = rasterization_2dgs(
+        *args, vm, K, W, H, render_mode="RGB+ED", distloss=True,
+    )
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    r1, a1, n1, nfd1, d1, md1, m1 = jax.jit(
+        lambda *a: rasterization_2dgs_distributed(
+            *a, vm, K, W, H, mesh=mesh, render_mode="RGB+ED", distloss=True,
+        )
+    )(*sharded)
+    # atol 1e-4: the depth channel rides at scale ~4, and fusion differs
+    # across the shard_map boundary (f32 reassociation noise)
+    np.testing.assert_allclose(r0, r1, atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(n0, n1, atol=1e-4, rtol=1e-5)
+    # depth->normal finite differences amplify the depth channel's f32
+    # reassociation noise ~5x — loosest gate of the set
+    np.testing.assert_allclose(nfd0, nfd1, atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(d0, d1, atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(md0, md1, atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(m1["radii"]), np.asarray(m0["radii"])
+    )
+
+    wr = jnp.asarray(rng.standard_normal((8, H, W, 4)).astype(np.float32))
+
+    def loss_single(*a):
+        r, al, nrm, _, dist, _, _ = rasterization_2dgs(
+            *a, vm, K, W, H, render_mode="RGB+ED", distloss=True,
+        )
+        return jnp.sum(r * wr) + jnp.sum(al) + jnp.sum(nrm) + jnp.sum(dist)
+
+    def loss_dist(*a):
+        r, al, nrm, _, dist, _, _ = rasterization_2dgs_distributed(
+            *a, vm, K, W, H, mesh=mesh, render_mode="RGB+ED", distloss=True,
+        )
+        return jnp.sum(r * wr) + jnp.sum(al) + jnp.sum(nrm) + jnp.sum(dist)
+
+    g0 = jax.grad(loss_single, argnums=(0, 1, 2, 3, 4))(*args)
+    g1 = jax.jit(jax.grad(loss_dist, argnums=(0, 1, 2, 3, 4)))(*sharded)
+    names = ["means", "quats", "scales", "opacities", "colors"]
+    for n, x, y in zip(names, g0, g1):
+        s = max(float(jnp.abs(x).max()), 1.0)
+        np.testing.assert_allclose(
+            x, y, atol=2e-4 * s, rtol=2e-4, err_msg=f"grad {n}"
+        )
+
+
+def test_distributed_2dgs_binned_backend(rng, mesh):
+    """The 2DGS binned engine per-shard (interpret mode) vs the
+    single-device 2DGS oracle."""
+    from gsplat_tpu.distributed import rasterization_2dgs_distributed
+    from gsplat_tpu.rendering import rasterization_2dgs
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=64, C=8, W=32, H=32
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    # apples-to-apples: single-device BINNED vs distributed BINNED (the
+    # oracle differs from the binned engine by alpha/transmittance
+    # threshold flips on borderline entries — that cross-backend gap is
+    # gated by the golden tests, not here)
+    r0, a0, n0, _, _, md0, _ = rasterization_2dgs(
+        *args, vm, K, W, H, render_mode="RGB+ED",
+        backend="binned", isect_capacity=131072,
+    )
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    r1, a1, n1, _, _, md1, m1 = jax.jit(
+        lambda *a: rasterization_2dgs_distributed(
+            *a, vm, K, W, H, mesh=mesh, render_mode="RGB+ED",
+            backend="binned", isect_capacity=16384,
+        )
+    )(*sharded)
+    # count-based gates (golden-test style): the per-shard projection's
+    # fusion differs from the single-device one by ulps, which flips
+    # borderline alpha >= 1/255 / T <= 1e-4 decisions on a handful of
+    # (pixel, entry) pairs; each flip moves a pixel by <= the local
+    # contribution. Measured on this fixture: 18/32768 elements > 1e-4,
+    # max 3.2e-4.
+    for got, want, name, tol in (
+        (r1, r0, "render", 2e-3), (a1, a0, "alphas", 1e-3),
+        (n1, n0, "normals", 2e-3), (md1, md0, "median", 5e-3),
+    ):
+        d = np.abs(np.asarray(got) - np.asarray(want))
+        assert d.max() < tol, f"{name} max {d.max():.2e}"
+        assert (d > 1e-4).mean() < 2e-3, f"{name} flips {(d > 1e-4).mean():.2%}"
+    assert int(m1["slab_required"]) > 0
 
 
 def test_distributed_sh_colors(rng, mesh):

@@ -127,6 +127,11 @@ class Config:
     # distributed training (reference: multi-GPU via gsplat/distributed.py;
     # here: Gaussian-sharded mesh + all_to_all, one camera per device)
     distributed: bool = False
+    # packed exchange (reference packed=True, gsplat/rendering.py:416-459):
+    # each owner shard compacts its visible Gaussians into a fixed
+    # pack_capacity buffer before the all-to-all — less ICI traffic when
+    # visibility is sparse; capacity grows out-of-jit via pack_required
+    packed: bool = False
     resume: str = ""  # path to a ckpt_*.npz to resume training from
     # milestone artifacts (reference simple_trainer.py:703-718,934-1023)
     render_traj: bool = False  # fly-through video at eval steps
@@ -339,6 +344,9 @@ class Runner:
 
         self.pose_noise_key = jax.random.PRNGKey(cfg.seed + 2)
         self.isect_capacity = _round_up(int(4e6), 4096) if self._on_tpu else None
+        # packed-exchange visible-set capacity per (camera, owner shard);
+        # grown out-of-jit from meta["pack_required"] like isect_capacity
+        self.pack_capacity = 4096
         self._step_fn = None  # compiled lazily; rebuilt on pool growth
 
         self.mesh = None
@@ -353,11 +361,8 @@ class Runner:
             )
             # pose/appearance/bilagrid run on replicated params outside the
             # shard_map — jit psums their grads (DDP-equivalent, reference
-            # simple_trainer.py:380-410). Depth loss needs a depth render
-            # mode through the exchange; not wired yet.
-            assert not cfg.depth_loss, (
-                "depth_loss is not supported in distributed mode yet"
-            )
+            # simple_trainer.py:380-410). depth_loss rides the exchange via
+            # render_mode="RGB+ED" (the owner shard appends its depth row).
             self.mesh = Mesh(np.array(jax.devices()), ("gauss",))
             shard = NamedSharding(self.mesh, P("gauss"))
             self.params = {
@@ -406,7 +411,7 @@ class Runner:
 
     # --- pool / isect capacity management (out-of-jit, recompiles) --------
 
-    def _maybe_grow(self, n_isects: int):
+    def _maybe_grow(self, n_isects: int, pack_required: int = 0):
         cfg = self.cfg
         grew = False
         cap = self.live.shape[0]
@@ -445,6 +450,18 @@ class Runner:
                 int(n_isects * cfg.isect_headroom), 4096
             )
             print(f"[isect] n_isects={n_isects} -> capacity {self.isect_capacity}")
+            grew = True
+        if cfg.packed and pack_required > 0.8 * self.pack_capacity:
+            if pack_required > self.pack_capacity:
+                print(
+                    f"[pack] WARNING: pack_required={pack_required} exceeded "
+                    f"capacity {self.pack_capacity}; this step was truncated"
+                )
+            self.pack_capacity = _round_up(
+                int(pack_required * cfg.isect_headroom), 512
+            )
+            print(f"[pack] pack_required={pack_required} -> "
+                  f"capacity {self.pack_capacity}")
             grew = True
         if grew:
             self._step_fn = None
@@ -489,6 +506,63 @@ class Runner:
             render = render[..., :-1]
         return render, alphas, depths_map, meta, {}
 
+    def _raster_train_distributed(
+        self, params, colors, sh_deg_arg, viewmats, Ks, width, height,
+        carrier, live, backend, isect_capacity, render_mode, mesh,
+    ):
+        """Distributed render hook: Gaussian-sharded projection + a2a
+        exchange; aux modules (pose/appearance/bilagrid) run OUTSIDE the
+        shard_map on replicated params — jit inserts their gradient psums,
+        the SPMD equivalent of the reference's DDP wrappers
+        (simple_trainer.py:380-410). True per-Gaussian radii come back
+        owner-side for SelectiveAdam/strategy stats. Overridden by the
+        2DGS runner."""
+        cfg = self.cfg
+        from gsplat_tpu.distributed import (
+            rasterization_distributed, rasterization_distributed_packed,
+        )
+
+        kwargs = dict(
+            mesh=mesh,
+            sh_degree=sh_deg_arg,
+            near_plane=cfg.near_plane,
+            far_plane=cfg.far_plane,
+            tile_size=cfg.tile_size,
+            backend=backend,
+            isect_capacity=isect_capacity,
+            masks=live,
+            means2d_carrier=carrier,
+            render_mode=render_mode,
+            absgrad=cfg.absgrad,
+        )
+        if cfg.packed:
+            # appearance-mode per-camera colors don't ride the packed sort
+            assert sh_deg_arg is not None, (
+                "--packed requires SH colors (no --app-opt)"
+            )
+            fn = rasterization_distributed_packed
+            kwargs["pack_capacity"] = self.pack_capacity
+        else:
+            fn = rasterization_distributed
+            kwargs["per_camera_colors"] = sh_deg_arg is None
+        render, alphas, meta = fn(
+            params["means"],
+            params["quats"],
+            jnp.exp(params["scales"]),
+            jax.nn.sigmoid(params["opacities"]),
+            colors,
+            viewmats,
+            Ks,
+            width,
+            height,
+            **kwargs,
+        )
+        depths_map = None
+        if cfg.depth_loss:
+            depths_map = render[..., -1:]
+            render = render[..., :-1]
+        return render, alphas, depths_map, meta, {}
+
     def _geom_losses(self, loss, geom, alphas):
         """Extra geometry loss terms (2DGS normal/distortion); no-op here."""
         return loss
@@ -500,7 +574,10 @@ class Runner:
 
     def _make_step(self, width: int, height: int, sh_degree: int):
         cfg = self.cfg
-        backend = "tiled" if self._on_tpu else "oracle"
+        # the binned engine (emit -> payload sort -> Pallas kernels) is the
+        # fast path on TPU for BOTH single-device and distributed training
+        # (2.57x over tiled at grid5 — PERF.md); oracle off-TPU (tests)
+        backend = "binned" if self._on_tpu else "oracle"
         isect_capacity = self.isect_capacity
         optimizers = self.optimizers
         aux_txs = self.aux_txs
@@ -515,40 +592,6 @@ class Runner:
             cap = live.shape[0]
             B = camtoworlds.shape[0]
             carrier = jnp.zeros((B, cap, 2), jnp.float32)
-
-            def _raster_distributed(params, colors, sh_deg_arg, viewmats, carrier):
-                # Gaussian-sharded projection + a2a exchange; aux modules
-                # (pose/appearance/bilagrid) run OUTSIDE the shard_map on
-                # replicated params — jit inserts their gradient psums, the
-                # SPMD equivalent of the reference's DDP wrappers
-                # (simple_trainer.py:380-410). True per-Gaussian radii come
-                # back owner-side for SelectiveAdam/strategy stats.
-                from gsplat_tpu.distributed import rasterization_distributed
-
-                render, alphas, meta = rasterization_distributed(
-                    params["means"],
-                    params["quats"],
-                    jnp.exp(params["scales"]),
-                    jax.nn.sigmoid(params["opacities"]),
-                    colors,
-                    viewmats,
-                    Ks,
-                    width,
-                    height,
-                    mesh=mesh,
-                    sh_degree=sh_deg_arg,
-                    near_plane=cfg.near_plane,
-                    far_plane=cfg.far_plane,
-                    tile_size=cfg.tile_size,
-                    backend=backend,
-                    isect_capacity=isect_capacity,
-                    masks=live,
-                    means2d_carrier=carrier,
-                    per_camera_colors=sh_deg_arg is None,
-                )
-                meta = dict(meta)
-                meta["n_isects"] = jnp.max(meta["n_isects"])
-                return render, alphas, None, meta, {}
 
             # hook points for the 2DGS runner (which inherits the full loop
             # incl. pose/appearance/bilagrid/depth/batching/resume)
@@ -575,8 +618,12 @@ class Runner:
                     sh_deg_arg = sh_degree
 
                 if mesh is not None:
-                    render, alphas, depths_map, meta, geom = _raster_distributed(
-                        params, colors, sh_deg_arg, viewmats, carrier
+                    render, alphas, depths_map, meta, geom = (
+                        self._raster_train_distributed(
+                            params, colors, sh_deg_arg, viewmats, Ks, width,
+                            height, carrier, live, backend, isect_capacity,
+                            render_mode, mesh,
+                        )
                     )
                 else:
                     render, alphas, depths_map, meta, geom = self._raster_train(
@@ -623,6 +670,8 @@ class Runner:
                     "n_isects": meta.get(
                         "slab_required", meta.get("n_isects", jnp.int32(0))
                     ),
+                    # packed-exchange truncation signal (0 when not packed)
+                    "pack_required": meta.get("pack_required", jnp.int32(0)),
                 }
                 return loss, aux
 
@@ -660,6 +709,7 @@ class Runner:
             return (
                 params, new_states, new_aux_params, new_aux_states,
                 loss, aux["radii"], g_carrier, aux["n_isects"],
+                aux["pack_required"],
             )
 
         return jax.jit(step_fn, donate_argnums=(0, 1, 3, 4))
@@ -675,7 +725,7 @@ class Runner:
         returns the exact requirement (meta['slab_required'] is computed
         before truncation); _maybe_grow handles growth from there."""
         cfg = self.cfg
-        if not self._on_tpu or self.mesh is not None:
+        if not self._on_tpu:
             return
         try:
             data = self.trainset[0]
@@ -683,9 +733,14 @@ class Runner:
             colors = jnp.concatenate(
                 [self.params["sh0"], self.params["shN"]], axis=1
             )
+            # under the mesh: n_dev copies of the probe camera -> each shard
+            # rasterizes one full-scene camera, so slab_required is the true
+            # per-shard budget for the one-camera-per-device layout
+            n_rep = len(jax.devices()) if self.mesh is not None else 1
             _, _, meta = self.render_probe(
-                jnp.asarray(data["camtoworld"])[None],
-                jnp.asarray(data["K"])[None], W, H, colors,
+                jnp.tile(jnp.asarray(data["camtoworld"])[None], (n_rep, 1, 1)),
+                jnp.tile(jnp.asarray(data["K"])[None], (n_rep, 1, 1)),
+                W, H, colors,
             )
             need = int(meta.get("slab_required", meta.get("n_isects", 0)))
             if need > 0:
@@ -700,6 +755,26 @@ class Runner:
 
     def render_probe(self, camtoworlds, Ks, width, height, colors):
         """Tiny-capacity truncated render used only for the budget probe."""
+        if self.mesh is not None:
+            from gsplat_tpu.distributed import rasterization_distributed
+
+            return rasterization_distributed(
+                self.params["means"],
+                self.params["quats"],
+                jnp.exp(self.params["scales"]),
+                jax.nn.sigmoid(self.params["opacities"]),
+                colors,
+                jnp.linalg.inv(camtoworlds),
+                Ks,
+                width,
+                height,
+                mesh=self.mesh,
+                sh_degree=self.cfg.sh_degree,
+                backend="binned",
+                isect_capacity=4096,
+                masks=self.live,
+                tile_size=self.cfg.tile_size,
+            )
         return rasterization(
             self.params["means"],
             self.params["quats"],
@@ -788,7 +863,8 @@ class Runner:
                 pt_depths = jnp.zeros((B, P_MAX), jnp.float32)
             (
                 self.params, self.opt_states, self.aux_params,
-                self.aux_states, loss, radii, g_carrier, n_isects
+                self.aux_states, loss, radii, g_carrier, n_isects,
+                pack_required,
             ) = self._step_fn(
                 self.params, self.opt_states, self.live,
                 self.aux_params, self.aux_states,
@@ -830,7 +906,7 @@ class Runner:
             # capacity, so a densification spike must trigger growth at the
             # very next step, not up to 99 steps later (n_isects is already
             # a jitted-step output, so this costs only the host sync).
-            self._maybe_grow(int(n_isects))
+            self._maybe_grow(int(n_isects), int(pack_required))
 
             if step % 100 == 0:
                 n_live = int(jnp.sum(self.live))

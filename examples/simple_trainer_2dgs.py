@@ -42,7 +42,6 @@ class Runner2DGS(Runner):
         # the 2DGS backward kernel's live set exceeds the v5e 16MB VMEM at
         # tile_size 32 (ray-transform cross products); 16 fits
         cfg.tile_size = min(cfg.tile_size, 16)
-        assert not cfg.distributed, "2DGS distributed training not wired yet"
         super().__init__(cfg)
 
     # --- hooks into the inherited jitted step -----------------------------
@@ -107,7 +106,72 @@ class Runner2DGS(Runner):
             loss = loss + self.dist_lambda * jnp.mean(geom["distort"])
         return loss
 
+    def _raster_train_distributed(
+        self, params, colors, sh_deg_arg, viewmats, Ks, width, height,
+        carrier, live, backend, isect_capacity, render_mode, mesh,
+    ):
+        """2DGS surfel rows through the same Gaussian-sharded exchange
+        (reference trains 2DGS via the identical distributed machinery,
+        gsplat/rendering.py:1018+)."""
+        from gsplat_tpu.distributed import rasterization_2dgs_distributed
+
+        cfg = self.cfg
+        use_dist = self._cur_step >= self.dist_start
+        (
+            render, alphas, normals, normals_depth, distort, median, meta
+        ) = rasterization_2dgs_distributed(
+            params["means"],
+            params["quats"],
+            jnp.exp(params["scales"]),
+            jax.nn.sigmoid(params["opacities"]),
+            colors,
+            viewmats,
+            Ks,
+            width,
+            height,
+            mesh=mesh,
+            sh_degree=sh_deg_arg,
+            near_plane=cfg.near_plane,
+            far_plane=cfg.far_plane,
+            tile_size=cfg.tile_size,
+            backend=backend,
+            isect_capacity=isect_capacity,
+            masks=live,
+            densify_carrier=carrier,
+            per_camera_colors=sh_deg_arg is None,
+            render_mode="RGB+ED",
+            distloss=use_dist,
+        )
+        depths_map = render[..., -1:]
+        geom = {
+            "normals": normals,
+            "normals_depth": normals_depth,
+            "distort": distort,
+        }
+        return render[..., :3], alphas, depths_map, meta, geom
+
     def render_probe(self, camtoworlds, Ks, width, height, colors):
+        if self.mesh is not None:
+            from gsplat_tpu.distributed import rasterization_2dgs_distributed
+
+            out = rasterization_2dgs_distributed(
+                self.params["means"],
+                self.params["quats"],
+                jnp.exp(self.params["scales"]),
+                jax.nn.sigmoid(self.params["opacities"]),
+                colors,
+                jnp.linalg.inv(camtoworlds),
+                Ks,
+                width,
+                height,
+                mesh=self.mesh,
+                sh_degree=self.cfg.sh_degree,
+                backend="binned",
+                isect_capacity=4096,
+                masks=self.live,
+                tile_size=self.cfg.tile_size,
+            )
+            return out[0], out[1], out[6]
         out = rasterization_2dgs(
             self.params["means"],
             self.params["quats"],

@@ -111,15 +111,22 @@ def test_trainer_smoke(tmp_path, rng, flags):
 
 @pytest.mark.parametrize(
     "aux",
-    [{}, {"pose_opt": True, "app_opt": True, "use_bilateral_grid": True}],
-    ids=["plain", "pose+app+bilagrid"],
+    [
+        {},
+        {"pose_opt": True, "app_opt": True, "use_bilateral_grid": True},
+        {"packed": True},
+        {"depth_loss": True},
+    ],
+    ids=["plain", "pose+app+bilagrid", "packed", "depth"],
 )
 def test_trainer_distributed_smoke(tmp_path, rng, aux):
     """Distributed training on the 8-device CPU mesh: Gaussian-sharded pool,
     all_to_all exchange, one camera per device (batch_size = 8). The aux
     variant exercises the DDP-equivalent path: pose/appearance/bilagrid on
     replicated params outside the shard_map (reference
-    simple_trainer.py:380-410)."""
+    simple_trainer.py:380-410); "packed" runs the fixed-capacity packed
+    exchange with its pack_required growth loop; "depth" runs the disparity
+    loss through the RGB+ED exchange."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     mod = _load_trainer()
@@ -223,6 +230,45 @@ def test_trainer_2dgs_smoke(tmp_path, rng, flags):
     geom = runner.eval_geometry(6)
     assert np.isfinite(geom["normal_consistency"])
     assert np.isfinite(geom["distortion"])
+    for v in runner.params.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_trainer_2dgs_distributed_smoke(tmp_path, rng):
+    """2DGS distributed training on the 8-device CPU mesh: the surfel rows
+    ride the same Gaussian-sharded exchange (rasterization_2dgs_distributed)
+    with the inherited loop's geometry losses."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mod = _load_trainer()
+    spec = importlib.util.spec_from_file_location(
+        "simple_trainer_2dgs", os.path.join(_EX, "simple_trainer_2dgs.py")
+    )
+    mod2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod2)
+
+    data_dir = str(tmp_path / "scene")
+    _tiny_colmap(data_dir, rng, n_cams=10)
+    cfg = mod.Config(
+        data_dir=data_dir,
+        data_factor=1,
+        result_dir=str(tmp_path / "out"),
+        max_steps=4,
+        eval_steps=[4],
+        save_steps=[],
+        refine_start_iter=2,
+        refine_every=2,
+        sh_degree_interval=100,
+        test_every=9,
+        pool_headroom=1.5,
+        distributed=True,
+        batch_size=8,
+    )
+    runner = mod2.Runner2DGS(cfg, normal_start=2, dist_start=1)
+    assert runner.mesh is not None
+    runner.train()
+    stats = runner.eval(4)
+    assert np.isfinite(stats["psnr"])
     for v in runner.params.values():
         assert np.all(np.isfinite(np.asarray(v)))
 

@@ -82,10 +82,114 @@ def _pair_swap_pass(F: np.ndarray, P: np.ndarray, offset: int):
     P[:, ja + 1] = np.where(upd, pa, pb)
 
 
+def _box_blur(F: np.ndarray, r: int) -> np.ndarray:
+    """Exact [2r+1]-box blur (edge-padded, separable) of an [s, s, C] grid."""
+    k = 2 * r + 1
+    out = F
+    for axis in (0, 1):
+        pad = [(0, 0)] * 3
+        pad[axis] = (r, r)
+        p = np.pad(out, pad, mode="edge")
+        c = np.cumsum(p, axis=axis, dtype=np.float64)
+        zshape = list(c.shape)
+        zshape[axis] = 1
+        c = np.concatenate([np.zeros(zshape), c], axis=axis)
+        sl_hi = [slice(None)] * 3
+        sl_lo = [slice(None)] * 3
+        sl_hi[axis] = slice(k, None)
+        sl_lo[axis] = slice(0, -k)
+        out = ((c[tuple(sl_hi)] - c[tuple(sl_lo)]) / k).astype(np.float32)
+    return out
+
+
+def _plas_pass(F: np.ndarray, P: np.ndarray, T: np.ndarray, d: int,
+               axis: int, jitter: int):
+    """One disjoint-pair swap sweep at offset ``d`` along ``axis`` against
+    the blurred target ``T``: cells j in even d-blocks pair with j + d;
+    a pair swaps when that lowers the summed squared distance of the cell
+    CONTENTS to the cell TARGETS (the PLAS assignment objective,
+    arXiv 2312.13299 §3). F [s,s,C], P [s,s] updated in place."""
+    if axis == 0:
+        F = F.transpose(1, 0, 2)
+        P = P.T
+        T = T.transpose(1, 0, 2)
+    s = F.shape[1]
+    j = np.arange(s - d)
+    sel = ((j + jitter) // d) % 2 == 0
+    ja = j[sel]
+    jb = ja + d
+    a, b = F[:, ja], F[:, jb]
+    Ta, Tb = T[:, ja], T[:, jb]
+    cost_now = ((a - Ta) ** 2).sum(-1) + ((b - Tb) ** 2).sum(-1)
+    cost_sw = ((b - Ta) ** 2).sum(-1) + ((a - Tb) ** 2).sum(-1)
+    upd = cost_sw < cost_now  # [s, n_pairs]
+    F[:, ja] = np.where(upd[..., None], b, a)
+    F[:, jb] = np.where(upd[..., None], a, b)
+    pa, pb = P[:, ja].copy(), P[:, jb].copy()
+    P[:, ja] = np.where(upd, pb, pa)
+    P[:, jb] = np.where(upd, pa, pb)
+
+
+def plas_refine(
+    splats: Dict[str, np.ndarray],
+    P: np.ndarray,
+    sweeps_per_radius: int = 6,
+    radius_decay: float = 0.7,
+    seed: int = 0,
+) -> np.ndarray:
+    """Blur-guided self-organizing refinement of a grid layout — the
+    pairwise-swap variant of PLAS (arXiv 2312.13299; reference
+    gsplat/compression/sort.py:7-46 calls the external CUDA `plas` package).
+
+    PLAS alternates (a) blurring the grid into a smooth target and (b)
+    locally reassigning cells toward that target at exponentially
+    decreasing radii. Here step (b) is disjoint-pair swaps at random
+    offsets <= radius along alternating axes — numpy-only, a few seconds
+    for a 1k x 1k grid — which minimizes the same neighborhood-smoothness
+    objective. Returns the refined [s, s] permutation (indices into the
+    splat arrays).
+
+    Measured (scripts/exp_plas_gap.py, garden fixture, 334^2 grid): this
+    cuts the L2 neighborhood roughness 2.7x below the serpentine layout —
+    the refinement works — but the PNG artifact comes out 8% LARGER, not
+    smaller: PNG's per-row Sub/Paeth predictors reward the morton scan's
+    many near-duplicate consecutive entries (small-residual frequency),
+    not evenly-spread L2 smoothness. ``sort_splats`` therefore keeps
+    serpentine+even-odd as the default and ``plas=True`` is opt-in for
+    data where 2D smoothness wins (e.g. attribute grids consumed by
+    2D-predicting codecs).
+    """
+    s = P.shape[0]
+    feats = []
+    for k, v in splats.items():
+        if k == "shN":
+            continue
+        f = v.reshape(s * s, -1).astype(np.float32)
+        mins, maxs = f.min(axis=0), f.max(axis=0)
+        feats.append((f - mins) / np.maximum(maxs - mins, 1e-12))
+    feat = np.concatenate(feats, axis=1)
+    F = feat[P.reshape(-1)].reshape(s, s, -1).copy()
+    P = P.copy()
+    rng = np.random.default_rng(seed)
+    radius = max(2, s // 2)
+    while radius >= 1:
+        T = _box_blur(F, max(1, radius // 2))
+        for _ in range(sweeps_per_radius):
+            d = int(rng.integers(1, radius + 1))
+            axis = int(rng.integers(0, 2))
+            jitter = int(rng.integers(0, 2 * d))
+            _plas_pass(F, P, T, d, axis, jitter)
+        if radius == 1:
+            break
+        radius = max(1, int(radius * radius_decay))
+    return P
+
+
 def sort_splats(
     splats: Dict[str, np.ndarray],
     n_sidelen: Optional[int] = None,
     refine_iters: int = 8,
+    plas: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Reorder splats for 2-D grid compression (PLAS approximation)."""
     means = splats["means"]
@@ -107,6 +211,11 @@ def sort_splats(
     grid_pos[1::2] = grid_pos[1::2, ::-1].copy()
     P = np.empty((s, s), np.int64)
     P.reshape(-1)[:] = order[grid_pos.reshape(-1)]
+
+    if plas:
+        # blur-guided self-organization (the PLAS objective), then the
+        # byte-level even-odd polish against PNG's row predictor
+        P = plas_refine(splats, P)
 
     if refine_iters > 0:
         base = {k: v[P.reshape(-1)] for k, v in splats.items()}

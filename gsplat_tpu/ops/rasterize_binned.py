@@ -224,9 +224,29 @@ def _bwd_kernel(
     tx = rem % tw
 
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
-    py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
+    # tile-LOCAL pixel coords: the gradient moments below contract degree-2
+    # pixel polynomials on the MXU, and local coords keep the monomial
+    # magnitudes (<= ts^2) small enough that the reconstruction's
+    # cancellation stays ~1e-7 relative. dx = pxl - gxl is bit-identical to
+    # the global px - gx (both shifts are exact f32 subtractions: operands
+    # < 2^24 and |result| <= |operands|).
+    # tile-CENTER origin halves the monomial magnitudes (|pxl| <= ts/2)
+    pxl = (pix % ts).astype(jnp.float32) + (0.5 - ts / 2)
+    pyl = (pix // ts).astype(jnp.float32) + (0.5 - ts / 2)
+    x0 = (tx * ts).astype(jnp.float32) + (ts / 2)
+    y0 = (ty * ts).astype(jnp.float32) + (ts / 2)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    # moment basis [P, 8]: the five per-entry quadratic reductions
+    # (v_ca, v_cb, v_cc, v_gx, v_gy) are linear in the moments
+    # M = Q^T v_sig — ONE full-depth [P,8]x[P,K] MXU contraction replaces
+    # five [P,K]-wide multiply+reduce chains (VERDICT r2 item 3).
+    ones_p = jnp.ones((P, 1), jnp.float32)
+    Qm = jnp.concatenate(
+        [pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl, ones_p,
+         jnp.zeros((P, 2), jnp.float32)],
+        axis=1,
+    )
 
     last_row = last_ref[0]  # [1, P]
     last = jnp.transpose(last_row, (1, 0))  # [P, 1]
@@ -275,8 +295,10 @@ def _bwd_kernel(
             ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
             op = e[5:6, :]
             ecol = e[6 : 6 + Dp, :]
-            dx = px - gx
-            dy = py - gy
+            gxl = gx - x0
+            gyl = gy - y0
+            dx = pxl - gxl
+            dy = pyl - gyl
             sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
             eneg = jnp.exp(-sig)
             araw = op * eneg
@@ -308,14 +330,28 @@ def _bwd_kernel(
             )
             notclamp = araw < ALPHA_MAX
             v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
-            v_op = jnp.sum(
-                jnp.where(notclamp, eneg * v_alpha, 0.0), axis=0, keepdims=True
-            )
-            v_ca = jnp.sum(0.5 * dx * dx * v_sig, axis=0, keepdims=True)
-            v_cb = jnp.sum(dx * dy * v_sig, axis=0, keepdims=True)
-            v_cc = jnp.sum(0.5 * dy * dy * v_sig, axis=0, keepdims=True)
-            v_gx = -jnp.sum((ca * dx + cb * dy) * v_sig, axis=0, keepdims=True)
-            v_gy = -jnp.sum((cb * dx + cc * dy) * v_sig, axis=0, keepdims=True)
+            # moment contraction: M[m] = sum_p monomial_m(pxl, pyl) * v_sig
+            # — full-depth (P) MXU matmul; the quadratic reductions are
+            # then lane-wide combinations of M with the per-entry coeffs
+            M = jax.lax.dot_general(
+                Qm, v_sig,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [8, LANES]
+            mxx, mxy, myy = M[0:1, :], M[1:2, :], M[2:3, :]
+            mx, my, m1 = M[3:4, :], M[4:5, :], M[5:6, :]
+            sdx = mx - gxl * m1  # sum_p dx * v_sig
+            sdy = my - gyl * m1
+            # v_op: v_sig = -op * (eneg * v_alpha * notclamp) pointwise, so
+            # sum_p eneg*v_alpha*notclamp = -m1/op (op is per-entry; op ~ 0
+            # implies alpha < ALPHA_MIN everywhere -> m1 = 0 -> 0)
+            v_op = -m1 / jnp.maximum(op, 1e-12)
+            v_ca = 0.5 * (mxx - 2.0 * gxl * mx + gxl * gxl * m1)
+            v_cb = mxy - gxl * my - gyl * mx + gxl * gyl * m1
+            v_cc = 0.5 * (myy - 2.0 * gyl * my + gyl * gyl * m1)
+            v_gx = -(ca * sdx + cb * sdy)
+            v_gy = -(cb * sdx + cc * sdy)
             v_col = jax.lax.dot_general(
                 vaccum, w,
                 dimension_numbers=(((1,), (0,)), ((), ())),

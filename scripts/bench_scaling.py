@@ -5,11 +5,11 @@ size (1, 2, 4, ... devices), holding per-device work constant (weak scaling:
 N Gaussians and C cameras grow with the mesh), and reports parallel
 efficiency — the BASELINE.md north star is >= 80% at N >= 2 hosts.
 
-Always exercises the TILED backend — the real program — under shard_map
+Defaults to the BINNED backend — the flagship engine — under shard_map
 (interpret-mode Pallas on the CPU mesh, native on TPU), so the efficiency
-number measures the production pipeline, not the oracle stand-in. On this
-single-chip image the CPU mesh provides the only multi-device shape; on a
-real slice, run as-is:
+number measures the production pipeline, not the oracle stand-in
+(--backend tiled/oracle for comparison). On this single-chip image the
+CPU mesh provides the only multi-device shape; on a real slice, run as-is:
 
     python scripts/bench_scaling.py --width 1920 --height 1080 --n-per-dev 500000
 """
@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force an 8-device CPU mesh (harness self-test)")
+    ap.add_argument("--backend", default="binned",
+                    choices=["binned", "tiled", "oracle"],
+                    help="rasterizer backend under the mesh (default: the "
+                         "flagship binned engine)")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -95,8 +99,9 @@ def main():
         def loss(m, q, s, o, c):
             r, a, _ = rasterization_distributed(
                 m, q, s, o, c, vm, K, W, H, mesh=mesh,
-                backend="tiled",
-                isect_capacity=cap, tile_size=32 if on_tpu else 16,
+                backend=args.backend,
+                isect_capacity=None if args.backend == "oracle" else cap,
+                tile_size=32 if on_tpu else 16,
             )
             return jnp.sum(r) + jnp.sum(a)
 

@@ -66,6 +66,10 @@ def _fwd_kernel(
     last_ref,  # [1, 1, P] i32 out (absolute stream index, -1 = none)
     ebuf,  # [2, F, K] VMEM
     esem,
+    Tt_ref,  # [P, 1] f32 scratch: running per-pixel transmittance
+    Tov_ref,  # [P, LANES] f32 scratch: lane-wise T_out carry
+    lv_ref,  # [P, LANES] i32 scratch: lane-wise last carry
+    done_ref,  # [1] i32 SMEM scratch: whole-tile saturation flag
     *,
     K: int,
     P: int,
@@ -74,6 +78,7 @@ def _fwd_kernel(
     tw: int,
     th: int,
     native: bool,
+    skip: bool,
 ):
     t = pl.program_id(0)
     off = offs_ref[t]
@@ -92,88 +97,104 @@ def _fwd_kernel(
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     accum_ref[...] = jnp.zeros_like(accum_ref)
+    Tt_ref[...] = jnp.ones((P, 1), jnp.float32)
+    Tov_ref[...] = jnp.ones((P, LANES), jnp.float32)
+    lv_ref[...] = jnp.full((P, LANES), -1, jnp.int32)
+    done_ref[0] = 0
 
     @pl.when(nb > 0)
     def _():
         _ecopy(entries_hbm, ebuf, esem, astart, 0, K).start()
 
-    def body(carry):
-        b, T_test, T_out_v, last_v = carry
+    def body(b, _):
         slot = jax.lax.rem(b, 2)
 
+        # DMAs run UNCONDITIONALLY (the whole slab streams ~200us at HBM
+        # bandwidth vs ~70ms of compute) so the skip path never has to
+        # reason about in-flight copies or semaphore drains.
         @pl.when(b + 1 < nb)
         def _():
             _ecopy(entries_hbm, ebuf, esem, astart + (b + 1) * K, 1 - slot, K).start()
 
         _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
-        eb = ebuf[slot]  # [F, K]
 
-        acc = jnp.zeros_like(accum_ref[0])
-        # one DMA per K entries, VPU math in 128-lane slices (VMEM ceiling)
-        for s in range(NS):
-            e = eb[:, s * LANES : (s + 1) * LANES]
-            gx, gy = e[0:1, :], e[1:2, :]
-            ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
-            op = e[5:6, :]
-            dx = px - gx
-            dy = py - gy
-            sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-            araw = op * jnp.exp(-sig)
-            alpha = jnp.minimum(araw, ALPHA_MAX)
-            gidx = astart + b * K + s * LANES + kidx  # [1, 128] stream index
-            colmask = (gidx >= off) & (gidx < off + n)
-            valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
-            one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+        @pl.when(done_ref[0] == 0)
+        def _compute():
+            eb = ebuf[slot]  # [F, K]
+            T_test = Tt_ref[...]
+            T_out_v = Tov_ref[...]
+            last_v = lv_ref[...]
+            acc = jnp.zeros_like(accum_ref[0])
+            # one DMA per K entries, VPU math in 128-lane slices
+            for s in range(NS):
+                e = eb[:, s * LANES : (s + 1) * LANES]
+                gx, gy = e[0:1, :], e[1:2, :]
+                ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
+                op = e[5:6, :]
+                dx = px - gx
+                dy = py - gy
+                sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+                araw = op * jnp.exp(-sig)
+                alpha = jnp.minimum(araw, ALPHA_MAX)
+                gidx = astart + b * K + s * LANES + kidx  # [1, 128]
+                colmask = (gidx >= off) & (gidx < off + n)
+                valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+                one_m = jnp.where(valid, 1.0 - alpha, 1.0)
 
-            # multiplicative transmittance (reference CUDA semantics:
-            # progressive T *= (1-alpha)); two transcendentals fewer per
-            # pair than the log-space chain. The exclusive product comes
-            # from a lane roll of the inclusive scan — NOT T_incl/one_m,
-            # whose division would amplify rounding by up to 1/(1-MAX)=1e3
-            Tm = _cumprod_lanes(one_m, LANES, "fwd_incl", native)
-            roll = pltpu.roll if native else jnp.roll
-            Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
-            T_excl = Tm_excl * T_test
-            T_incl = T_excl * one_m
-            accept = valid & (T_incl > TRANSMITTANCE_EPS)
-            w = jnp.where(accept, T_excl * alpha, 0.0)
+                # multiplicative transmittance (reference CUDA semantics:
+                # progressive T *= (1-alpha)); two transcendentals fewer
+                # per pair than the log-space chain. The exclusive product
+                # comes from a lane roll of the inclusive scan — NOT
+                # T_incl/one_m, whose division would amplify rounding by
+                # up to 1/(1-MAX)=1e3
+                Tm = _cumprod_lanes(one_m, LANES, "fwd_incl", native)
+                roll = pltpu.roll if native else jnp.roll
+                Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
+                T_excl = Tm_excl * T_test
+                T_incl = T_excl * one_m
+                accept = valid & (T_incl > TRANSMITTANCE_EPS)
+                w = jnp.where(accept, T_excl * alpha, 0.0)
 
-            acc += jax.lax.dot_general(
-                e[6 : 6 + Dp, :], w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+                acc += jax.lax.dot_general(
+                    e[6 : 6 + Dp, :], w,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
-            T_test = T_test * Tm[:, LANES - 1 :]
-            # deferred reductions: accumulate LANE-WISE min/max and reduce
-            # once per tile after the loop (saves two 7-step lane reduces
-            # per slice). Product over accepted == T_incl at the LAST
-            # accepted pair (monotone chain; Mosaic has no reduce_prod).
-            T_out_v = jnp.minimum(T_out_v, jnp.where(accept, T_incl, 1.0))
-            last_v = jnp.maximum(last_v, jnp.where(accept, gidx, -1))
-        accum_ref[0] += acc
-        return b + 1, T_test, T_out_v, last_v
+                T_test = T_test * Tm[:, LANES - 1 :]
+                # deferred reductions: accumulate LANE-WISE min/max and
+                # reduce once per tile after the loop. Product over
+                # accepted == T_incl at the LAST accepted pair (monotone
+                # chain; Mosaic has no reduce_prod).
+                T_out_v = jnp.minimum(T_out_v, jnp.where(accept, T_incl, 1.0))
+                last_v = jnp.maximum(last_v, jnp.where(accept, gidx, -1))
+            accum_ref[0] += acc
+            Tt_ref[...] = T_test
+            Tov_ref[...] = T_out_v
+            lv_ref[...] = last_v
+            if skip:
+                # whole-tile saturation: once EVERY pixel's running T is at
+                # or below the termination threshold, no later entry can be
+                # accepted (T_incl <= T_excl <= T_test) — the remaining
+                # batches are runtime-skipped. A per-batch pl.when branch
+                # does NOT serialize the pipeline the way a data-dependent
+                # fori/while condition does (PERF.md round-2 rule): the
+                # trip count stays static and DMAs stay unconditional.
+                sat = jnp.max(T_test) <= TRANSMITTANCE_EPS
+                done_ref[0] = jnp.where(sat, 1, done_ref[0])
 
-    # static-trip fori, NO data-dependent early exit: a while_loop whose
+        return 0
+
+    # static-trip fori, NO data-dependent trip count: a while_loop whose
     # condition reduces the carry to a scalar serializes the batch
     # pipeline on TPU and measured ~3x slower than walking every batch
-    # (scripts/exp_fwd_breakdown.py); terminated pixels already
-    # contribute nothing through the accept mask.
-    one_p = jnp.ones((P, 1), jnp.float32)
-    _, _, T_out_v, last_v = jax.lax.fori_loop(
-        0,
-        nb,
-        lambda b, c: body(c),
-        (
-            jnp.int32(0),
-            one_p,
-            jnp.ones((P, LANES), jnp.float32),
-            jnp.full((P, LANES), -1, jnp.int32),
-        ),
-    )
-    T_out = jnp.min(T_out_v, axis=1, keepdims=True)
-    last = jnp.max(last_v, axis=1, keepdims=True)
+    # (scripts/exp_fwd_breakdown.py); terminated pixels contribute
+    # nothing through the accept mask, and with skip=True saturated
+    # tiles drop the per-batch compute under a scalar predicate instead.
+    jax.lax.fori_loop(0, nb, body, 0)
+    T_out = jnp.min(Tov_ref[...], axis=1, keepdims=True)
+    last = jnp.max(lv_ref[...], axis=1, keepdims=True)
 
     # external contract stays log-space (one log per pixel per tile)
     logT_ref[0] = jnp.transpose(jnp.log(T_out), (1, 0))
@@ -499,7 +520,7 @@ def _reduce_call(gid_sorted, vg_sorted, M: int, GR: int, interpret: bool):
 
 
 def _fwd_call(cfg, entries, offs, cnts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -512,10 +533,15 @@ def _fwd_call(cfg, entries, offs, cnts):
         scratch_shapes=[
             pltpu.VMEM((2, F, KF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, LANES), jnp.float32),
+            pltpu.VMEM((P, LANES), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, K=KF, P=P, Dp=Dp, ts=ts, tw=tw, th=th, native=not interpret
+        _fwd_kernel, K=KF, P=P, Dp=Dp, ts=ts, tw=tw, th=th,
+        native=not interpret, skip=skipf,
     )
     return pl.pallas_call(
         kernel,
@@ -533,7 +559,7 @@ def _fwd_call(cfg, entries, offs, cnts):
 
 
 def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -586,7 +612,7 @@ def _raster_binned(cfg, packed, absc, radii, depths):
 
 
 def _bin_from_packed(cfg, packed, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
     rs = lambda r: packed[r].reshape(C, N)
     colors = jnp.stack([rs(6 + d) for d in range(D)], axis=-1)
     return bin_gaussians(
@@ -596,7 +622,7 @@ def _bin_from_packed(cfg, packed, radii, depths):
 
 
 def _raster_binned_fwd(cfg, packed, absc, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
     binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
     NF = binned.entries.shape[0]
     # row F-1 carries the entry's gid as an exact f32 (< 2^24) for the
@@ -615,7 +641,7 @@ def _raster_binned_fwd(cfg, packed, absc, radii, depths):
 
 
 def _raster_binned_bwd(cfg, res, cts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
     entries, offs, cnts, logT, last = res
     v_accum, v_logT, _, _ = cts
     acnt = ((cnts + KB - 1) // KB + 1) * KB  # +KB: astart may precede offs
@@ -677,12 +703,16 @@ def rasterize_to_pixels_binned(
     cull: bool = True,
     batch_size: int = 4 * LANES,
     bwd_batch_size: Optional[int] = None,
+    skip_saturated: bool = True,
 ):
     """Rasterize via the binning engine (emit -> payload sort -> kernels).
 
     Returns (render_colors [C,H,W,D], render_alphas [C,H,W,1], aux) where
     aux = {"n_isects", "slab_required"} for the out-of-jit capacity loop.
     Semantics identical to rasterize_to_pixels_ref / rasterize_to_pixels_tiled.
+    ``skip_saturated`` runtime-skips fwd batch compute once every pixel of
+    the tile is past the termination threshold (bit-identical output; the
+    CUDA analogue is the reference fwd's per-warp ``break``).
     """
     if isinstance(means2d, (tuple, list)):
         mean_x, mean_y = means2d
@@ -727,7 +757,7 @@ def rasterize_to_pixels_binned(
     cfg = (
         C, N, T, th, tw, ts, P, D, Dp, F, KF, KB,
         _round_up(capacity, 512), GR, _interpret(),
-        abs_carrier is not None, cull,
+        abs_carrier is not None, cull, skip_saturated,
     )
     accum, logT, n_isects, slab_required = _raster_binned(
         cfg, packed, absc, radii, depths

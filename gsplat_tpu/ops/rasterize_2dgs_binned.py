@@ -51,7 +51,15 @@ def _fwd2_kernel(
     dist_ref,  # [1, 1, P]
     med_ref,  # [1, 1, P]
     ebuf, esem,
-    *, K, P, L, Lp, md, ts, tw, th, native,
+    Tt_s,  # [P, 1] f32 scratch: running transmittance
+    dist_s,  # [P, 1] f32 scratch
+    wsum_s,  # [P, 1] f32 scratch
+    wmsum_s,  # [P, 1] f32 scratch
+    med_s,  # [P, 1] f32 scratch
+    Tov_s,  # [P, LANES] f32 scratch
+    lv_s,  # [P, LANES] i32 scratch
+    done_s,  # [1] i32 SMEM: whole-tile saturation flag
+    *, K, P, L, Lp, md, ts, tw, th, native, skip,
 ):
     t = pl.program_id(0)
     off = offs_ref[t]
@@ -69,96 +77,123 @@ def _fwd2_kernel(
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     accum_ref[...] = jnp.zeros_like(accum_ref)
+    zp = jnp.zeros((P, 1), jnp.float32)
+    Tt_s[...] = jnp.ones((P, 1), jnp.float32)
+    dist_s[...] = zp
+    wsum_s[...] = zp
+    wmsum_s[...] = zp
+    med_s[...] = zp
+    Tov_s[...] = jnp.ones((P, LANES), jnp.float32)
+    lv_s[...] = jnp.full((P, LANES), -1, jnp.int32)
+    done_s[0] = 0
 
     @pl.when(nb > 0)
     def _():
         _ecopy(entries_hbm, ebuf, esem, astart, 0, K).start()
 
-    def body(carry):
-        b, T_test, T_out_v, last_v, dist, wsum, wmsum, med = carry
+    def body(b, _):
         slot = jax.lax.rem(b, 2)
 
+        # DMAs run unconditionally; only the compute is predicated (see
+        # rasterize_binned._fwd_kernel for the rationale)
         @pl.when(b + 1 < nb)
         def _():
             _ecopy(entries_hbm, ebuf, esem, astart + (b + 1) * K, 1 - slot, K).start()
 
         _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
-        eb = ebuf[slot]
 
-        acc = jnp.zeros_like(accum_ref[0])
-        for s in range(NS):
-            e = eb[:, s * LANES : (s + 1) * LANES]
-            op = e[11:12, :]
-            sig, _, _, _, _, _, _, _, _, _ = _sigma_2dgs(e, px, py, L)
-            araw = op * jnp.exp(-sig)
-            alpha = jnp.minimum(araw, ALPHA_MAX)
-            gidx = astart + b * K + s * LANES + kidx
-            colmask = (gidx >= off) & (gidx < off + n)
-            valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
-            one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+        @pl.when(done_s[0] == 0)
+        def _compute():
+            eb = ebuf[slot]
+            T_test = Tt_s[...]
+            T_out_v = Tov_s[...]
+            last_v = lv_s[...]
+            dist = dist_s[...]
+            wsum = wsum_s[...]
+            wmsum = wmsum_s[...]
+            med = med_s[...]
+            acc = jnp.zeros_like(accum_ref[0])
+            for s in range(NS):
+                e = eb[:, s * LANES : (s + 1) * LANES]
+                op = e[11:12, :]
+                sig, _, _, _, _, _, _, _, _, _ = _sigma_2dgs(e, px, py, L)
+                araw = op * jnp.exp(-sig)
+                alpha = jnp.minimum(araw, ALPHA_MAX)
+                gidx = astart + b * K + s * LANES + kidx
+                colmask = (gidx >= off) & (gidx < off + n)
+                valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+                one_m = jnp.where(valid, 1.0 - alpha, 1.0)
 
-            Tm = _cumprod_lanes(one_m, LANES, "fwd_incl", native)
-            roll = pltpu.roll if native else jnp.roll
-            Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
-            T_excl = Tm_excl * T_test
-            T_incl = T_excl * one_m
-            accept = valid & (T_incl > TRANSMITTANCE_EPS)
-            w = jnp.where(accept, T_excl * alpha, 0.0)  # [P, 128]
+                Tm = _cumprod_lanes(one_m, LANES, "fwd_incl", native)
+                roll = pltpu.roll if native else jnp.roll
+                Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
+                T_excl = Tm_excl * T_test
+                T_incl = T_excl * one_m
+                accept = valid & (T_incl > TRANSMITTANCE_EPS)
+                w = jnp.where(accept, T_excl * alpha, 0.0)  # [P, 128]
 
-            acc += jax.lax.dot_general(
-                e[NFIX : NFIX + Lp, :], w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+                acc += jax.lax.dot_general(
+                    e[NFIX : NFIX + Lp, :], w,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
-            # distortion: 2 * sum_k w_k (m_k W_<k - WM_<k), prefixes carried
-            mrow = e[NFIX + md : NFIX + md + 1, :]
-            w_pref = _cum_lanes(w, LANES, "fwd_incl", native) - w + wsum
-            wm = w * mrow
-            wm_pref = _cum_lanes(wm, LANES, "fwd_incl", native) - wm + wmsum
-            dist = dist + jnp.sum(
-                2.0 * (wm * w_pref - w * wm_pref), axis=1, keepdims=True
-            )
-            # median: depth of the last accepted gaussian with T_excl > 0.5
-            hit = accept & (T_excl > 0.5)
-            med = jnp.where(
-                jnp.any(hit, axis=1, keepdims=True),
-                jnp.sum(
-                    jnp.where(
-                        gidx
-                        == jnp.max(
-                            jnp.where(hit, gidx, -1), axis=1, keepdims=True
+                # distortion: 2 * sum_k w_k (m_k W_<k - WM_<k), prefixes carried
+                mrow = e[NFIX + md : NFIX + md + 1, :]
+                w_pref = _cum_lanes(w, LANES, "fwd_incl", native) - w + wsum
+                wm = w * mrow
+                wm_pref = _cum_lanes(wm, LANES, "fwd_incl", native) - wm + wmsum
+                dist = dist + jnp.sum(
+                    2.0 * (wm * w_pref - w * wm_pref), axis=1, keepdims=True
+                )
+                # median: depth of the last accepted gaussian with T_excl > 0.5
+                hit = accept & (T_excl > 0.5)
+                med = jnp.where(
+                    jnp.any(hit, axis=1, keepdims=True),
+                    jnp.sum(
+                        jnp.where(
+                            gidx
+                            == jnp.max(
+                                jnp.where(hit, gidx, -1), axis=1, keepdims=True
+                            ),
+                            jnp.where(hit, mrow, 0.0),
+                            0.0,
                         ),
-                        jnp.where(hit, mrow, 0.0),
-                        0.0,
+                        axis=1,
+                        keepdims=True,
                     ),
-                    axis=1,
-                    keepdims=True,
-                ),
-                med,
-            )
+                    med,
+                )
 
-            T_test = T_test * Tm[:, LANES - 1 :]
-            T_out_v = jnp.minimum(T_out_v, jnp.where(accept, T_incl, 1.0))
-            last_v = jnp.maximum(last_v, jnp.where(accept, gidx, -1))
-            wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
-            wmsum = wmsum + jnp.sum(wm, axis=1, keepdims=True)
-        accum_ref[0] += acc
-        return b + 1, T_test, T_out_v, last_v, dist, wsum, wmsum, med
+                T_test = T_test * Tm[:, LANES - 1 :]
+                T_out_v = jnp.minimum(T_out_v, jnp.where(accept, T_incl, 1.0))
+                last_v = jnp.maximum(last_v, jnp.where(accept, gidx, -1))
+                wsum = wsum + jnp.sum(w, axis=1, keepdims=True)
+                wmsum = wmsum + jnp.sum(wm, axis=1, keepdims=True)
+            accum_ref[0] += acc
+            Tt_s[...] = T_test
+            Tov_s[...] = T_out_v
+            lv_s[...] = last_v
+            dist_s[...] = dist
+            wsum_s[...] = wsum
+            wmsum_s[...] = wmsum
+            med_s[...] = med
+            if skip:
+                # whole-tile saturation: identical rationale + semantics to
+                # rasterize_binned._fwd_kernel — every per-pixel statistic
+                # (accum/dist/median/carries) is frozen once accept is
+                # globally false, so dropping the compute is bit-identical
+                sat = jnp.max(T_test) <= TRANSMITTANCE_EPS
+                done_s[0] = jnp.where(sat, 1, done_s[0])
 
-    zp = jnp.zeros((P, 1), jnp.float32)
-    onep = jnp.ones((P, 1), jnp.float32)
-    out = jax.lax.fori_loop(
-        0, nb, lambda b, c: body(c),
-        (
-            jnp.int32(0), onep,
-            jnp.ones((P, LANES), jnp.float32),
-            jnp.full((P, LANES), -1, jnp.int32),
-            zp, zp, zp, zp,
-        ),
-    )
-    _, _, T_out_v, last_v, dist, _, _, med = out
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+    T_out_v = Tov_s[...]
+    last_v = lv_s[...]
+    dist = dist_s[...]
+    med = med_s[...]
     T_out = jnp.min(T_out_v, axis=1, keepdims=True)
     last = jnp.max(last_v, axis=1, keepdims=True)
 
@@ -424,11 +459,19 @@ def _fwd2_call(cfg, entries, offs, cnts):
         scratch_shapes=[
             pltpu.VMEM((2, F, KF), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, LANES), jnp.float32),
+            pltpu.VMEM((P, LANES), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(
         _fwd2_kernel, K=KF, P=P, L=L, Lp=Lp, md=md, ts=ts, tw=tw, th=th,
-        native=not interpret,
+        native=not interpret, skip=True,
     )
     return pl.pallas_call(
         kernel,

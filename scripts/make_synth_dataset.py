@@ -61,7 +61,13 @@ def main():
     ap.add_argument("--height", type=int, default=210)
     ap.add_argument("--n-points", type=int, default=40000)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the GT render is tiny; "
+                         "also keeps the script usable when the TPU "
+                         "tunnel is unreachable)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from gsplat_tpu import load_test_data, rasterization
     from gsplat_tpu.modules import knn_distances

@@ -22,8 +22,12 @@ def sparse_dir(tmp_path_factory):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     subprocess.run(
         [sys.executable, os.path.join(root, "scripts", "make_synth_dataset.py"),
-         "--out", str(out), "--n-cams", "6", "--width", "64", "--height", "48"],
-        check=True, capture_output=True,
+         "--out", str(out), "--n-cams", "6", "--width", "64", "--height", "48",
+         # --cpu: don't let the subprocess touch the TPU tunnel (the test
+         # suite runs on the forced CPU mesh; the env var JAX_PLATFORMS is
+         # ignored by the axon plugin, so the flag is the only way)
+         "--cpu"],
+        check=True, capture_output=True, timeout=600,
     )
     return os.path.join(str(out), "sparse", "0")
 

@@ -142,6 +142,7 @@ def rasterization_distributed(
     tile_size: int = 16,
     backgrounds: Optional[jax.Array] = None,  # [C, D]
     render_mode: str = "RGB",
+    rasterize_mode: str = "classic",  # or "antialiased" (opacity comp.)
     backend: str = "auto",
     isect_capacity: Optional[int] = None,  # per-shard capacity
     masks: Optional[jax.Array] = None,  # [N] bool
@@ -220,6 +221,7 @@ def rasterization_distributed(
             means, quats, scales, viewmats, Ks, width, height,
             eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
             radius_clip=radius_clip,
+            calc_compensations=(rasterize_mode == "antialiased"),
         )
         radii = proj["radii"]
         if live is not None:
@@ -337,6 +339,7 @@ def rasterization_distributed_packed(
     tile_size: int = 16,
     backgrounds: Optional[jax.Array] = None,  # [C, D]
     render_mode: str = "RGB",
+    rasterize_mode: str = "classic",  # or "antialiased" (opacity comp.)
     backend: str = "auto",
     isect_capacity: Optional[int] = None,
     masks: Optional[jax.Array] = None,  # [N] bool
@@ -397,6 +400,7 @@ def rasterization_distributed_packed(
             means, quats, scales, viewmats, Ks, width, height,
             eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
             radius_clip=radius_clip,
+            calc_compensations=(rasterize_mode == "antialiased"),
         )
         radii = proj["radii"]
         if live is not None:
@@ -433,11 +437,14 @@ def rasterization_distributed_packed(
         # front, relative (depth-irrelevant) order preserved. One sort
         # carries every row the rasterizer needs.
         key = (~vis).astype(jnp.int32)
+        opac_cn = jnp.broadcast_to(opacities[None, :], (C, n_local))
+        if "compensation" in proj:
+            opac_cn = opac_cn * proj["compensation"]
         rows = [
             proj["mean_x"], proj["mean_y"], proj["depth"],
             proj["conic_a"], proj["conic_b"], proj["conic_c"],
             radii.astype(jnp.float32),
-            jnp.broadcast_to(opacities[None, :], (C, n_local)),
+            opac_cn,
         ] + [colors_cn[..., d] for d in range(D)]
         n_abs = 0
         if carrier is not None and absgrad:

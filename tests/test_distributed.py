@@ -411,3 +411,24 @@ def test_distributed_multi_camera_per_device(rng, mesh):
     np.testing.assert_array_equal(
         np.asarray(m1["radii"]), np.asarray(m0["radii"])
     )
+
+
+def test_distributed_antialiased(rng, mesh):
+    """rasterize_mode="antialiased" (opacity compensation) matches the
+    single-device path through the exchange."""
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=128, C=8, W=32, H=32
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    r0, a0, _ = rasterization(*args, vm, K, W, H, rasterize_mode="antialiased")
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    r1, a1, _ = jax.jit(
+        lambda *a: rasterization_distributed(
+            *a, vm, K, W, H, mesh=mesh, rasterize_mode="antialiased",
+        )
+    )(*sharded)
+    np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5)

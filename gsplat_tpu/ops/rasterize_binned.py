@@ -22,6 +22,7 @@ and scripts/check_tiled_tpu.py on hardware.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -79,6 +80,7 @@ def _fwd_kernel(
     th: int,
     native: bool,
     skip: bool,
+    mxu_sigma: bool,
 ):
     t = pl.program_id(0)
     off = offs_ref[t]
@@ -95,6 +97,25 @@ def _fwd_kernel(
     px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
     py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    if mxu_sigma:
+        # sigma as a [P,8]@[8,LANES] MXU contraction: sigma is a degree-2
+        # polynomial in the pixel coords, so a monomial basis Qm contracted
+        # against per-entry coefficient rows replaces the ~9-op VPU chain
+        # (VERDICT r2 item 3; reference computes the same quadratic per
+        # (pixel, gaussian), gsplat/triton_impl/rasterize_to_pixels_fwd.py:107-123).
+        # Tile-CENTER local coords bound the monomials (|pxl| <= ts/2) so the
+        # f32 cancellation in the expanded polynomial stays ~1e-3 absolute
+        # worst-case (tiny far-center gaussians); see _bwd_kernel's moment
+        # basis for the same argument.
+        pxl = (pix % ts).astype(jnp.float32) + (0.5 - ts / 2)
+        pyl = (pix // ts).astype(jnp.float32) + (0.5 - ts / 2)
+        x0 = (tx * ts).astype(jnp.float32) + (ts / 2)
+        y0 = (ty * ts).astype(jnp.float32) + (ts / 2)
+        Qm = jnp.concatenate(
+            [pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl,
+             jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 2), jnp.float32)],
+            axis=1,
+        )  # [P, 8]
 
     accum_ref[...] = jnp.zeros_like(accum_ref)
     Tt_ref[...] = jnp.ones((P, 1), jnp.float32)
@@ -131,14 +152,38 @@ def _fwd_kernel(
                 gx, gy = e[0:1, :], e[1:2, :]
                 ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
                 op = e[5:6, :]
-                dx = px - gx
-                dy = py - gy
-                sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-                araw = op * jnp.exp(-sig)
+                if mxu_sigma:
+                    gxl = gx - x0
+                    gyl = gy - y0
+                    coef = jnp.concatenate(
+                        [0.5 * ca, cb, 0.5 * cc,
+                         -(ca * gxl + cb * gyl), -(cc * gyl + cb * gxl),
+                         0.5 * (ca * gxl * gxl + cc * gyl * gyl)
+                         + cb * gxl * gyl,
+                         jnp.zeros((2, LANES), jnp.float32)],
+                        axis=0,
+                    )  # [8, LANES] — built on 1-sublane rows, ~P x cheaper
+                    sig = jax.lax.dot_general(
+                        Qm, coef, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [P, LANES]
+                    # the expanded polynomial cancels at gaussian centers
+                    # (true sigma -> 0): accept tiny negative rounding noise
+                    # instead of dropping the center pixel, but still reject
+                    # genuinely indefinite conics like the exact path does
+                    araw = op * jnp.exp(-jnp.maximum(sig, 0.0))
+                    sig_ok = sig >= -1e-3
+                else:
+                    dx = px - gx
+                    dy = py - gy
+                    sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+                    araw = op * jnp.exp(-sig)
+                    sig_ok = sig >= 0.0
                 alpha = jnp.minimum(araw, ALPHA_MAX)
                 gidx = astart + b * K + s * LANES + kidx  # [1, 128]
                 colmask = (gidx >= off) & (gidx < off + n)
-                valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+                valid = colmask & (alpha >= ALPHA_MIN) & sig_ok
                 one_m = jnp.where(valid, 1.0 - alpha, 1.0)
 
                 # multiplicative transmittance (reference CUDA semantics:
@@ -232,6 +277,7 @@ def _bwd_kernel(
     th: int,
     native: bool,
     absgrad: bool,
+    mxu_sigma: bool,
 ):
     t = pl.program_id(0)
     off = offs_ref[t]
@@ -318,15 +364,35 @@ def _bwd_kernel(
             ecol = e[6 : 6 + Dp, :]
             gxl = gx - x0
             gyl = gy - y0
-            dx = pxl - gxl
-            dy = pyl - gyl
-            sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-            eneg = jnp.exp(-sig)
-            araw = op * eneg
+            if mxu_sigma:
+                # same MXU contraction as the fwd kernel (and the same
+                # monomial basis Qm the moment contraction below uses);
+                # dx/dy are never needed — sdx/sdy come from the moments
+                coef = jnp.concatenate(
+                    [0.5 * ca, cb, 0.5 * cc,
+                     -(ca * gxl + cb * gyl), -(cc * gyl + cb * gxl),
+                     0.5 * (ca * gxl * gxl + cc * gyl * gyl) + cb * gxl * gyl,
+                     jnp.zeros((2, LANES), jnp.float32)],
+                    axis=0,
+                )
+                sig = jax.lax.dot_general(
+                    Qm, coef,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                araw = op * jnp.exp(-jnp.maximum(sig, 0.0))
+                sig_ok = sig >= -1e-3
+            else:
+                dx = pxl - gxl
+                dy = pyl - gyl
+                sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+                araw = op * jnp.exp(-sig)
+                sig_ok = sig >= 0.0
             alpha = jnp.minimum(araw, ALPHA_MAX)
             gidx = astart + b * K + s * LANES + kidx
             colmask = (gidx >= off) & (gidx < off + n)
-            valid = colmask & (alpha >= ALPHA_MIN) & (sig >= 0.0)
+            valid = colmask & (alpha >= ALPHA_MIN) & sig_ok
             accept = valid & (gidx <= last)
 
             one_m = jnp.where(accept, 1.0 - alpha, 1.0)
@@ -520,7 +586,7 @@ def _reduce_call(gid_sorted, vg_sorted, M: int, GR: int, interpret: bool):
 
 
 def _fwd_call(cfg, entries, offs, cnts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -541,7 +607,7 @@ def _fwd_call(cfg, entries, offs, cnts):
     )
     kernel = functools.partial(
         _fwd_kernel, K=KF, P=P, Dp=Dp, ts=ts, tw=tw, th=th,
-        native=not interpret, skip=skipf,
+        native=not interpret, skip=skipf, mxu_sigma=mxu_sigma,
     )
     return pl.pallas_call(
         kernel,
@@ -559,7 +625,7 @@ def _fwd_call(cfg, entries, offs, cnts):
 
 
 def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -581,7 +647,7 @@ def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT
     )
     kernel = functools.partial(
         _bwd_kernel, K=KB, P=P, Dp=Dp, D=D, GR=GR, ts=ts, tw=tw, th=th,
-        native=not interpret, absgrad=absgrad,
+        native=not interpret, absgrad=absgrad, mxu_sigma=mxu_sigma,
     )
     # pre-zeroed (gid row = sentinel) so unprocessed aligned slots reduce
     # to nothing
@@ -612,7 +678,7 @@ def _raster_binned(cfg, packed, absc, radii, depths):
 
 
 def _bin_from_packed(cfg, packed, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
     rs = lambda r: packed[r].reshape(C, N)
     colors = jnp.stack([rs(6 + d) for d in range(D)], axis=-1)
     return bin_gaussians(
@@ -622,7 +688,7 @@ def _bin_from_packed(cfg, packed, radii, depths):
 
 
 def _raster_binned_fwd(cfg, packed, absc, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
     binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
     NF = binned.entries.shape[0]
     # row F-1 carries the entry's gid as an exact f32 (< 2^24) for the
@@ -641,7 +707,7 @@ def _raster_binned_fwd(cfg, packed, absc, radii, depths):
 
 
 def _raster_binned_bwd(cfg, res, cts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
     entries, offs, cnts, logT, last = res
     v_accum, v_logT, _, _ = cts
     acnt = ((cnts + KB - 1) // KB + 1) * KB  # +KB: astart may precede offs
@@ -704,6 +770,7 @@ def rasterize_to_pixels_binned(
     batch_size: int = 4 * LANES,
     bwd_batch_size: Optional[int] = None,
     skip_saturated: bool = True,
+    sigma_mxu: Optional[bool] = None,
 ):
     """Rasterize via the binning engine (emit -> payload sort -> kernels).
 
@@ -713,7 +780,14 @@ def rasterize_to_pixels_binned(
     ``skip_saturated`` runtime-skips fwd batch compute once every pixel of
     the tile is past the termination threshold (bit-identical output; the
     CUDA analogue is the reference fwd's per-warp ``break``).
+    ``sigma_mxu`` evaluates the fwd sigma quadratic as one [P,8]@[8,LANES]
+    MXU contraction instead of the VPU chain (env ``GSPLAT_SIGMA_MXU=1``
+    flips the default; off until the on-device A/B in
+    scripts/exp_mxu_kernel_shapes.py shows a win — expanded-polynomial
+    rounding is ~1e-3 absolute in sigma vs the exact path).
     """
+    if sigma_mxu is None:
+        sigma_mxu = os.environ.get("GSPLAT_SIGMA_MXU", "0") == "1"
     if isinstance(means2d, (tuple, list)):
         mean_x, mean_y = means2d
     else:
@@ -757,7 +831,7 @@ def rasterize_to_pixels_binned(
     cfg = (
         C, N, T, th, tw, ts, P, D, Dp, F, KF, KB,
         _round_up(capacity, 512), GR, _interpret(),
-        abs_carrier is not None, cull, skip_saturated,
+        abs_carrier is not None, cull, skip_saturated, sigma_mxu,
     )
     accum, logT, n_isects, slab_required = _raster_binned(
         cfg, packed, absc, radii, depths

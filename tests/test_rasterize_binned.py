@@ -121,6 +121,53 @@ def test_binned_matches_oracle(rng, cull, use_bg):
         assert int(aux["n_isects"]) < int(aux0["n_isects"])
 
 
+def test_binned_sigma_mxu_matches_oracle(rng):
+    """MXU-contraction sigma variant (GSPLAT_SIGMA_MXU) vs the oracle.
+
+    The expanded [P,8]@[8,LANES] polynomial carries ~1e-3 absolute rounding
+    in sigma (documented in _fwd_kernel), so the tolerance is looser than
+    the exact path's 1e-5.
+    """
+    C, W, H, ts, D = 2, 64, 48, 16, 3
+    radii, means2d, depths, conics, colors, opac = _scene(rng, C=C, W=W, H=H, D=D)
+    bg = jnp.asarray(rng.random((C, D)).astype(np.float32))
+
+    r0, a0 = rasterize_to_pixels_ref(
+        means2d, conics, colors, opac, radii, depths, W, H, ts, bg
+    )
+    r1, a1, _ = rasterize_to_pixels_binned(
+        means2d, conics, colors, opac, radii, depths, W, H, ts,
+        capacity=8192, backgrounds=bg, sigma_mxu=True,
+    )
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=2e-3, atol=2e-3)
+
+    # grads stay consistent too (bwd recomputes sigma exactly; only the fwd
+    # residuals logT/last differ at the mxu rounding level)
+    def loss(fn, mx, col):
+        r, a, *rest = fn(mx)
+        return jnp.sum(r * col) + 0.5 * jnp.sum(a)
+
+    col = jnp.asarray(rng.standard_normal(r0.shape).astype(np.float32))
+    g0 = jax.grad(
+        lambda m: loss(
+            lambda mm: rasterize_to_pixels_ref(
+                mm, conics, colors, opac, radii, depths, W, H, ts, bg,
+            ), m, col,
+        )
+    )(means2d)
+    g1 = jax.grad(
+        lambda m: loss(
+            lambda mm: rasterize_to_pixels_binned(
+                (mm[..., 0], mm[..., 1]), conics, colors, opac, radii,
+                depths, W, H, ts, capacity=8192, backgrounds=bg,
+                sigma_mxu=True,
+            ), m, col,
+        )
+    )(means2d)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=5e-3, atol=5e-3)
+
+
 @pytest.mark.parametrize("cull", [False, True])
 def test_binned_vjp_matches_oracle(rng, cull):
     C, W, H, ts, D = 1, 48, 32, 16, 3

@@ -55,15 +55,20 @@ def parity():
         means2d, conics, cols, opc)
     print("color maxdiff:", float(jnp.abs(r0 - r1).max()), flush=True)
     print("alpha maxdiff:", float(jnp.abs(a0 - a1).max()), flush=True)
+    # the MXU-sigma variant carries ~1e-3 absolute sigma rounding by design
+    # (ops/rasterize_binned.py); exact path holds the tight bound
+    mxu = os.environ.get("GSPLAT_SIGMA_MXU", "0") == "1"
+    gtol, vtol = (5e-3, 5e-3) if mxu else (1e-3, 1e-4)
     ok = True
     for a, b, name in zip(g0, g1, ("means2d", "conics", "colors", "opac")):
         d = float(jnp.abs(a - b).max())
         s = float(jnp.abs(a).max())
         print(f"grad {name}: maxdiff {d:.3e} (scale {s:.3e})", flush=True)
-        ok = ok and d <= 1e-3 * max(s, 1.0)
+        ok = ok and d <= gtol * max(s, 1.0)
     cd = float(jnp.abs(r0 - r1).max())
     ad = float(jnp.abs(a0 - a1).max())
-    print("PARITY", "OK" if (ok and cd < 1e-4 and ad < 1e-4) else "FAIL", flush=True)
+    print(f"sigma_mxu={mxu} PARITY",
+          "OK" if (ok and cd < vtol and ad < vtol) else "FAIL", flush=True)
 
 
 def bench():

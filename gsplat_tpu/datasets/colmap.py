@@ -109,13 +109,36 @@ class Parser:
             K = self.Ks_dict[cam_id].astype(np.float64)
             w, h = self.imsize_dict[cam_id]
             if cam.is_fisheye:
-                K_undist = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
-                    K, dist.astype(np.float64), (w, h), np.eye(3), balance=0.0
+                # reference semantics (examples/datasets/colmap.py:281-317):
+                # theta-polynomial remap on the tan-normalized grid plus a
+                # validity mask cropped to its bounding box; the mask rides
+                # the Dataset items so the trainer can zero out-of-projection
+                # pixels (used with camera_model="fisheye").
+                fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+                gx, gy = np.meshgrid(
+                    np.arange(w, dtype=np.float32),
+                    np.arange(h, dtype=np.float32),
+                    indexing="xy",
                 )
-                mapx, mapy = cv2.fisheye.initUndistortRectifyMap(
-                    K, dist.astype(np.float64), np.eye(3), K_undist, (w, h), cv2.CV_32FC1
+                x1 = (gx - cx) / fx
+                y1 = (gy - cy) / fy
+                theta = np.sqrt(x1**2 + y1**2)
+                k1, k2, k3, k4 = (list(dist) + [0.0] * 4)[:4]
+                r = (
+                    1.0 + k1 * theta**2 + k2 * theta**4
+                    + k3 * theta**6 + k4 * theta**8
                 )
-                roi = (0, 0, w, h)
+                mapx = (fx * x1 * r + w // 2).astype(np.float32)
+                mapy = (fy * y1 * r + h // 2).astype(np.float32)
+                valid = (
+                    (mapx > 0) & (mapy > 0) & (mapx < w - 1) & (mapy < h - 1)
+                )
+                ys, xs = np.nonzero(valid)
+                y0, y1_ = ys.min(), ys.max() + 1
+                x0, x1_ = xs.min(), xs.max() + 1
+                self.mask_dict[cam_id] = valid[y0:y1_, x0:x1_]
+                K_undist = K.copy()  # roi offset applied below (shared path)
+                roi = (int(x0), int(y0), int(x1_ - x0), int(y1_ - y0))
             else:
                 K_undist, roi = cv2.getOptimalNewCameraMatrix(
                     K, dist.astype(np.float64), (w, h), 0
@@ -219,6 +242,9 @@ class Dataset:
             "image": image,
             "image_id": index,
         }
+        mask = self.parser.mask_dict.get(cam_id)
+        if mask is not None:
+            data["mask"] = mask  # [H, W] bool, False = out-of-projection
         if self.load_depths:
             name = self.parser.image_names[index]
             rows = self.parser.point_indices.get(name, np.zeros((0,), np.int64))

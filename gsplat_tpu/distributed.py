@@ -149,6 +149,7 @@ def rasterization_distributed(
     means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros, N-sharded
     per_camera_colors: bool = False,  # colors is [C, N, D] (N-sharded)
     absgrad: bool = False,
+    camera_model: str = "pinhole",  # pinhole | ortho | fisheye
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Distributed rasterization: Gaussian-sharded projection, camera-sharded
     rasterization, differentiable all-to-all exchange.
@@ -222,6 +223,7 @@ def rasterization_distributed(
             eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
             radius_clip=radius_clip,
             calc_compensations=(rasterize_mode == "antialiased"),
+            camera_model=camera_model,
         )
         radii = proj["radii"]
         if live is not None:
@@ -345,6 +347,7 @@ def rasterization_distributed_packed(
     masks: Optional[jax.Array] = None,  # [N] bool
     means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2], N-sharded
     absgrad: bool = False,
+    camera_model: str = "pinhole",  # pinhole | ortho | fisheye
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Packed (fixed-capacity) distributed rasterization.
 
@@ -401,6 +404,7 @@ def rasterization_distributed_packed(
             eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
             radius_clip=radius_clip,
             calc_compensations=(rasterize_mode == "antialiased"),
+            camera_model=camera_model,
         )
         radii = proj["radii"]
         if live is not None:

@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--height", type=int, default=210)
     ap.add_argument("--n-points", type=int, default=40000)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--fisheye", action="store_true",
+                    help="write an OPENCV_FISHEYE scene: GT rendered with "
+                         "camera_model='fisheye' (ideal equidistant) and "
+                         "warped into the distorted capture frame that the "
+                         "loader's theta-polynomial remap (reference "
+                         "examples/datasets/colmap.py:281-317) inverts back")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the GT render is tiny; "
                          "also keeps the script usable when the TPU "
@@ -106,6 +112,7 @@ def main():
     from PIL import Image
 
     on_tpu = jax.default_backend() == "tpu"
+    cam_model = "fisheye" if args.fisheye else "pinhole"
     render_fn = jax.jit(
         lambda vm: rasterization(
             jnp.asarray(pts), jnp.asarray(quats), jnp.asarray(scales),
@@ -114,12 +121,45 @@ def main():
             backgrounds=jnp.ones((1, 3), jnp.float32),
             backend="tiled" if on_tpu else "oracle",
             isect_capacity=2**21 if on_tpu else None,
+            camera_model=cam_model,
         )[0]
     )
+    fisheye_k = np.array([0.06, 0.012, 0.0, 0.0])
+    if args.fisheye:
+        # Warp the ideal equidistant render into the OPENCV_FISHEYE capture
+        # frame: capture(u,v) samples the ideal image at radius rho where
+        # rho*(1 + k1 rho^2 + ... + k4 rho^8) = rho_d (Newton inversion of
+        # the loader's forward map).
+        import cv2
+
+        k1, k2, k3, k4 = fisheye_k
+        uu, vv = np.meshgrid(
+            np.arange(W, dtype=np.float64),
+            np.arange(H, dtype=np.float64), indexing="xy",
+        )
+        xd = (uu - W // 2) / f
+        yd = (vv - H // 2) / f
+        rho_d = np.sqrt(xd**2 + yd**2)
+        rho = rho_d.copy()
+        for _ in range(12):
+            poly = rho * (
+                1 + k1 * rho**2 + k2 * rho**4 + k3 * rho**6 + k4 * rho**8
+            )
+            dpoly = (
+                1 + 3 * k1 * rho**2 + 5 * k2 * rho**4
+                + 7 * k3 * rho**6 + 9 * k4 * rho**8
+            )
+            rho = rho - (poly - rho_d) / dpoly
+        radial = np.where(rho_d > 1e-9, rho / np.clip(rho_d, 1e-9, None), 1.0)
+        inv_mapx = (f * xd * radial + W / 2).astype(np.float32)
+        inv_mapy = (f * yd * radial + H / 2).astype(np.float32)
     names = []
     for i in range(args.n_cams):
         img = render_fn(jnp.asarray(w2cs[i : i + 1], jnp.float32))
         arr = (np.clip(np.asarray(img[0]), 0, 1) * 255).astype(np.uint8)
+        if args.fisheye:
+            arr = cv2.remap(arr, inv_mapx, inv_mapy, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_REPLICATE)
         name = f"view_{i:03d}.png"
         Image.fromarray(arr).save(os.path.join(args.out, "images", name))
         names.append(name)
@@ -129,8 +169,12 @@ def main():
     sp = os.path.join(args.out, "sparse", "0")
     with open(os.path.join(sp, "cameras.bin"), "wb") as fo:
         fo.write(struct.pack("<Q", 1))
-        fo.write(struct.pack("<iiQQ", 1, 1, W, H))  # PINHOLE
-        fo.write(struct.pack("<4d", f, f, W / 2, H / 2))
+        if args.fisheye:
+            fo.write(struct.pack("<iiQQ", 1, 5, W, H))  # OPENCV_FISHEYE
+            fo.write(struct.pack("<8d", f, f, W / 2, H / 2, *fisheye_k))
+        else:
+            fo.write(struct.pack("<iiQQ", 1, 1, W, H))  # PINHOLE
+            fo.write(struct.pack("<4d", f, f, W / 2, H / 2))
 
     with open(os.path.join(sp, "images.bin"), "wb") as fo:
         fo.write(struct.pack("<Q", args.n_cams))

@@ -37,6 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import jax
+
+if os.environ.get("GSPLAT_FORCE_CPU"):
+    # benchmark scripts validate the multi-chip SPMD program on a forced
+    # CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N);
+    # JAX_PLATFORMS=cpu is ignored under the axon plugin, this is not.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from gsplat_tpu import rasterization
@@ -83,6 +90,10 @@ class Config:
     near_plane: float = 0.01
     far_plane: float = 1e10
     antialiased: bool = False
+    # projection camera model (reference simple_trainer.py:73): pinhole |
+    # ortho | fisheye. Fisheye trains on the raw (distorted) images with
+    # the parser's validity mask zeroing out-of-projection pixels.
+    camera_model: str = "pinhole"
     random_bkgd: bool = False
     white_bkgd: bool = False  # composite over white (synthetic datasets)
     # LPIPS eval (reference simple_trainer.py:429-442): path to weights
@@ -273,6 +284,11 @@ class Runner:
             self.parser, split="train", load_depths=cfg.depth_loss
         )
         self.valset = Dataset(self.parser, split="val")
+        # per-pixel validity masks exist when any camera keeps a distorted
+        # projection (fisheye); static for jit — presence decided once here
+        self._has_pix_masks = any(
+            m is not None for m in self.parser.mask_dict.values()
+        )
         self.scene_scale = self.parser.scene_scale * 1.1
         print(f"scene scale: {self.scene_scale:.3f}; "
               f"{len(self.trainset)} train / {len(self.valset)} val images")
@@ -499,6 +515,7 @@ class Runner:
             masks=live,
             tile_size=cfg.tile_size,
             absgrad=cfg.absgrad,
+            camera_model=cfg.camera_model,
         )
         depths_map = None
         if cfg.depth_loss:
@@ -534,6 +551,7 @@ class Runner:
             means2d_carrier=carrier,
             render_mode=render_mode,
             absgrad=cfg.absgrad,
+            camera_model=cfg.camera_model,
         )
         if cfg.packed:
             # appearance-mode per-camera colors don't ride the packed sort
@@ -587,7 +605,8 @@ class Runner:
 
         def step_fn(
             params, opt_states, live, aux_params, aux_states,
-            camtoworlds, Ks, pixels, image_ids, bkgd, pts, pt_depths, key,
+            camtoworlds, Ks, pixels, image_ids, bkgd, pts, pt_depths,
+            pix_mask, key,
         ):
             cap = live.shape[0]
             B = camtoworlds.shape[0]
@@ -630,6 +649,10 @@ class Runner:
                         params, colors, sh_deg_arg, viewmats, Ks, width, height,
                         carrier, live, backend, isect_capacity, render_mode,
                     )
+                if pix_mask is not None:
+                    # reference rasterize_splats: render_colors[~masks] = 0
+                    # (simple_trainer.py:505-506)
+                    render = render * pix_mask
                 if "bilagrid" in aux_params:
                     render = slice_grid(aux_params["bilagrid"], image_ids, render)
                 if bkgd is not None:
@@ -790,6 +813,7 @@ class Runner:
             isect_capacity=4096,
             masks=self.live,
             tile_size=self.cfg.tile_size,
+            camera_model=self.cfg.camera_model,
         )
 
     def train(self):
@@ -807,6 +831,18 @@ class Runner:
 
         n_train = len(self.trainset)
         self._probe_isect_capacity()
+
+        if start_step >= cfg.max_steps:
+            # eval-only invocation from a final checkpoint (reference
+            # `--ckpt` mode, simple_trainer.py:1055-1067): produce the
+            # milestone artifacts without training; main() runs eval after
+            print(f"resume step {start_step} >= max_steps — eval-only mode")
+            if cfg.render_traj:
+                self.render_traj(start_step)
+            if cfg.compression:
+                assert cfg.compression == "png", cfg.compression
+                self.run_compression(start_step)
+            return
 
         def data_index(step_i, slot):
             # deterministic per-(epoch, position): resume-stable
@@ -861,6 +897,14 @@ class Runner:
             else:
                 pts = jnp.zeros((B, P_MAX, 2), jnp.float32)
                 pt_depths = jnp.zeros((B, P_MAX), jnp.float32)
+            if self._has_pix_masks:
+                pm = np.ones((B, H, W, 1), np.float32)
+                for bi, b_ in enumerate(batch):
+                    if "mask" in b_:
+                        pm[bi, ..., 0] = b_["mask"]
+                pix_mask = jnp.asarray(pm)
+            else:
+                pix_mask = None
             (
                 self.params, self.opt_states, self.aux_params,
                 self.aux_states, loss, radii, g_carrier, n_isects,
@@ -869,7 +913,7 @@ class Runner:
                 self.params, self.opt_states, self.live,
                 self.aux_params, self.aux_states,
                 camtoworlds, Ks, pixels, image_ids, bkgd, pts, pt_depths,
-                k_step,
+                pix_mask, k_step,
             )
 
             # n_cameras is the actual camera-batch size: the reference
@@ -997,6 +1041,7 @@ class Runner:
             isect_capacity=self.isect_capacity,
             masks=self.live,
             tile_size=self.cfg.tile_size,
+            camera_model=self.cfg.camera_model,
         )
 
     @property
@@ -1121,6 +1166,10 @@ class Runner:
             )
             if self.cfg.white_bkgd:
                 render = render + (1.0 - alphas_e)
+            if "mask" in data:
+                render = render * jnp.asarray(
+                    data["mask"], jnp.float32
+                )[None, :, :, None]
             render = jnp.clip(render, 0.0, 1.0)
             psnrs.append(float(psnr_fn(render, pixels)))
             ssims.append(float(ssim_fn(render, pixels)))

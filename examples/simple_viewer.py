@@ -31,7 +31,12 @@ from gsplat_tpu.datasets.traj import generate_ellipse_path_z, generate_interpola
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ckpt", default=None,
+                    help="ckpt_*.npz to view; omitted = garden test fixture")
+    ap.add_argument("--scene-grid", type=int, default=1,
+                    help="replicate the fixture scene into an odd NxN grid "
+                         "(reference simple_viewer.py:27-162 --scene_grid "
+                         "scale demo; only without --ckpt)")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--data-factor", type=int, default=4)
     ap.add_argument("--output-dir", default="renders")
@@ -43,15 +48,45 @@ def main():
     ap.add_argument("--video", action="store_true")
     args = ap.parse_args()
 
-    ckpt = np.load(args.ckpt)
-    params = {k: jnp.asarray(ckpt[k]) for k in ckpt.files if k != "live"}
-    live = jnp.asarray(ckpt["live"]) if "live" in ckpt.files else None
+    fixture_cams = None
+    if args.ckpt:
+        ckpt = np.load(args.ckpt)
+        params = {k: jnp.asarray(ckpt[k]) for k in ckpt.files if k != "live"}
+        live = jnp.asarray(ckpt["live"]) if "live" in ckpt.files else None
+    else:
+        # garden test fixture, optionally grid-replicated to mimic a
+        # large-scale scene (the reference's batched-render demo path)
+        from gsplat_tpu._helper import load_test_data
+
+        means, quats, scales, opacities, colors_rgb, viewmats, Ks_f, w_f, h_f = (
+            load_test_data(scene_grid=args.scene_grid)
+        )
+        print(f"fixture: {means.shape[0]} Gaussians (grid {args.scene_grid})",
+              flush=True)
+        params = {
+            "means": jnp.asarray(means),
+            "quats": jnp.asarray(quats),
+            # ckpt convention stores log-scales / logit-opacities; the
+            # fixture values are already in linear space — invert here so
+            # the shared render path below can exp/sigmoid uniformly
+            "scales": jnp.log(jnp.asarray(scales)),
+            "opacities": jnp.asarray(
+                np.log(opacities / np.clip(1.0 - opacities, 1e-6, None))
+            ),
+            "sh0": jnp.asarray(colors_rgb[:, None, :]),
+            "shN": jnp.zeros((means.shape[0], 0, 3), jnp.float32),
+        }
+        live = None
+        fixture_cams = (np.linalg.inv(viewmats), Ks_f[0], w_f, h_f)
 
     if args.data_dir:
         parser = Parser(args.data_dir, factor=args.data_factor, normalize=True)
         c2w_all = parser.camtoworlds
         K = parser.Ks_dict[parser.camera_ids[0]]
         W, H = parser.imsize_dict[parser.camera_ids[0]]
+    elif fixture_cams is not None:
+        c2w_all, K, W, H = fixture_cams
+        c2w_all = c2w_all.astype(np.float32)
     else:
         # orbit around the splat centroid
         pts = np.asarray(params["means"])
@@ -88,6 +123,9 @@ def main():
     from PIL import Image
 
     colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
+    # degree available in the checkpoint caps the requested one
+    deg_avail = int(np.sqrt(colors.shape[1])) - 1
+    sh_degree = min(args.sh_degree, deg_avail)
     on_tpu = jax.default_backend() == "tpu"
     isect_capacity = 2**22 if on_tpu else None
     frames = []
@@ -102,7 +140,7 @@ def main():
             jnp.asarray(K)[None],
             W,
             H,
-            sh_degree=args.sh_degree,
+            sh_degree=sh_degree,
             masks=live,
             backend="tiled" if on_tpu else "oracle",
             isect_capacity=isect_capacity,

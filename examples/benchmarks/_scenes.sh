@@ -26,7 +26,8 @@ scene_seed() {
 }
 
 if [ "$BENCH_PRESET" = "smoke" ]; then
-  GEN_ARGS=(--n-cams 8 --width 200 --height 160 --n-points 4000)
+  GEN_ARGS=(--n-cams 8 --width 200 --height 160 --n-points 4000
+            --gt-splats 20000)
   MAX_STEPS=${MAX_STEPS:-300}
   EVAL_STEPS=${EVAL_STEPS:-"300"}
   SAVE_STEPS=${SAVE_STEPS:-"300"}

@@ -94,6 +94,11 @@ class Config:
     # ortho | fisheye. Fisheye trains on the raw (distorted) images with
     # the parser's validity mask zeroing out-of-projection pixels.
     camera_model: str = "pinhole"
+    # rasterizer backend: auto (binned on TPU, oracle elsewhere) | oracle |
+    # tiled | binned — the reference's GSPLAT_BACKEND selector
+    # (gsplat/rendering.py:11-29). The oracle is O(N*pixels) memory; pick
+    # tiled/binned for real scene sizes off-TPU.
+    backend: str = "auto"
     random_bkgd: bool = False
     white_bkgd: bool = False  # composite over white (synthetic datasets)
     # LPIPS eval (reference simple_trainer.py:429-442): path to weights
@@ -359,7 +364,11 @@ class Runner:
             self.aux_states[k] = self.aux_txs[k].init(trainable)
 
         self.pose_noise_key = jax.random.PRNGKey(cfg.seed + 2)
-        self.isect_capacity = _round_up(int(4e6), 4096) if self._on_tpu else None
+        self.isect_capacity = (
+            _round_up(int(4e6), 4096)
+            if self._backend in ("binned", "tiled")
+            else None
+        )
         # packed-exchange visible-set capacity per (camera, owner shard);
         # grown out-of-jit from meta["pack_required"] like isect_capacity
         self.pack_capacity = 4096
@@ -397,6 +406,13 @@ class Runner:
     @property
     def _on_tpu(self):
         return jax.default_backend() == "tpu"
+
+    @property
+    def _backend(self):
+        """Resolved rasterizer backend (cfg.backend or the platform auto)."""
+        if self.cfg.backend != "auto":
+            return self.cfg.backend
+        return "binned" if self._on_tpu else "oracle"
 
     def _build_optimizers(self):
         cfg = self.cfg
@@ -594,8 +610,13 @@ class Runner:
         cfg = self.cfg
         # the binned engine (emit -> payload sort -> Pallas kernels) is the
         # fast path on TPU for BOTH single-device and distributed training
-        # (2.57x over tiled at grid5 — PERF.md); oracle off-TPU (tests)
-        backend = "binned" if self._on_tpu else "oracle"
+        # (2.57x over tiled at grid5 — PERF.md); oracle off-TPU (tests).
+        # --backend overrides (the reference's GSPLAT_BACKEND env,
+        # gsplat/rendering.py:11-29); the oracle is O(N*pixels) memory —
+        # pick tiled/binned for real scene sizes off-TPU.
+        backend = self._backend
+        if backend != "oracle" and self.isect_capacity is None:
+            self.isect_capacity = _round_up(int(4e6), 4096)
         isect_capacity = self.isect_capacity
         optimizers = self.optimizers
         aux_txs = self.aux_txs
@@ -748,7 +769,7 @@ class Runner:
         returns the exact requirement (meta['slab_required'] is computed
         before truncation); _maybe_grow handles growth from there."""
         cfg = self.cfg
-        if not self._on_tpu:
+        if not (self._on_tpu or cfg.backend in ("binned", "tiled")):
             return
         try:
             data = self.trainset[0]
@@ -1019,13 +1040,13 @@ class Runner:
                 width,
                 height,
                 sh_degree=None,
-                backend="binned" if self._on_tpu else "oracle",
+                backend=self._backend,
                 isect_capacity=self.isect_capacity,
                 masks=self.live,
                 tile_size=self.cfg.tile_size,
             )
         colors = jnp.concatenate([self.params["sh0"], self.params["shN"]], axis=1)
-        backend = "binned" if self._on_tpu else "oracle"
+        backend = self._backend
         return rasterization(
             self.params["means"],
             self.params["quats"],

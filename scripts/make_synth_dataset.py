@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--width", type=int, default=324)
     ap.add_argument("--height", type=int, default=210)
     ap.add_argument("--n-points", type=int, default=40000)
+    ap.add_argument("--gt-splats", type=int, default=120000,
+                    help="ground-truth splat count (subsampled from the "
+                         "garden fixture). The oracle GT render is "
+                         "O(gt_splats * pixels): shrink for CPU builds")
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--fisheye", action="store_true",
                     help="write an OPENCV_FISHEYE scene: GT rendered with "
@@ -72,7 +76,7 @@ def main():
                          "also keeps the script usable when the TPU "
                          "tunnel is unreachable)")
     args = ap.parse_args()
-    if args.cpu:
+    if args.cpu or os.environ.get("GSPLAT_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
     from gsplat_tpu import load_test_data, rasterization
@@ -82,7 +86,9 @@ def main():
     rng = np.random.default_rng(args.seed)
 
     # GT splats: points with kNN-scaled isotropic gaussians, solid opacity
-    sub = rng.choice(len(means), size=min(len(means), 120000), replace=False)
+    sub = rng.choice(
+        len(means), size=min(len(means), args.gt_splats), replace=False
+    )
     pts, cols = means[sub], colors[sub]
     d = knn_distances(pts, k=4)[:, 1:].mean(axis=1)
     scales = np.tile(np.clip(d, 5e-3, 0.05)[:, None], (1, 3)).astype(np.float32)

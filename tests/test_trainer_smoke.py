@@ -79,8 +79,12 @@ def _tiny_colmap(out, rng, n_pts=300, n_cams=6, W=48, H=36):
         {},
         {"pose_opt": True, "use_bilateral_grid": True, "depth_loss": True},
         {"app_opt": True},
+        # --backend override (the reference's GSPLAT_BACKEND selector):
+        # the tiled Pallas pipeline (interpret mode on CPU) end-to-end,
+        # including the off-TPU capacity probe
+        {"backend": "tiled"},
     ],
-    ids=["plain", "pose+bilagrid+depth", "app"],
+    ids=["plain", "pose+bilagrid+depth", "app", "backend-tiled"],
 )
 def test_trainer_smoke(tmp_path, rng, flags):
     mod = _load_trainer()

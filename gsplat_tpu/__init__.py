@@ -7,6 +7,7 @@ Pallas kernels, shard_map parallelism. See SURVEY.md at the repo root.
 """
 
 from ._helper import load_test_data
+from .version import __version__
 from .compression import PngCompression
 from .ops import (
     fully_fused_projection,
@@ -28,7 +29,6 @@ from .rendering import rasterization, rasterization_2dgs
 from .relocation import compute_relocation, make_binoms
 from .strategy import DefaultStrategy, MCMCStrategy, Strategy
 
-__version__ = "0.1.0"
 
 __all__ = [
     "rasterization",

@@ -12,7 +12,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_DEFAULT_PATH = os.path.join(os.path.dirname(__file__), "..", "assets", "test_garden.npz")
+_DEFAULT_PATH = os.path.join(os.path.dirname(__file__), "assets", "test_garden.npz")
 
 
 def load_test_data(

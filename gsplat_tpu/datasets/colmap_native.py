@@ -21,7 +21,7 @@ import numpy as np
 from .colmap_io import CAMERA_MODELS, Camera, Image
 
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "csrc",
     "colmap_native.cpp",
 )

@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-3 on-device queue (PERF.md "On-device queue"): waits for the TPU
+# tunnel to recover, then runs the revalidation + A/B + bench sequence,
+# logging each stage to $LOGDIR. Quality runs (run_quality_r3.sh) are NOT
+# started here — review these results first, then kick them off.
+LOGDIR=${LOGDIR:-/tmp/q3logs}
+mkdir -p "$LOGDIR"
+cd "$(dirname "$0")/.."
+
+probe() { timeout 120 python -u -c "import jax; print(jax.devices(), flush=True)" >> "$LOGDIR/probe.log" 2>&1; }
+
+echo "$(date) waiting for TPU..." | tee -a "$LOGDIR/queue.log"
+until probe; do sleep 120; done
+echo "$(date) TPU UP" | tee -a "$LOGDIR/queue.log"
+
+stage() {
+  name=$1; shift
+  if [ -f "$LOGDIR/$name.ok" ]; then echo "skip $name" | tee -a "$LOGDIR/queue.log"; return; fi
+  echo "$(date) === $name: $*" | tee -a "$LOGDIR/queue.log"
+  if timeout 2700 "$@" > "$LOGDIR/$name.log" 2>&1; then
+    touch "$LOGDIR/$name.ok"
+    echo "$(date) $name OK" | tee -a "$LOGDIR/queue.log"
+  else
+    echo "$(date) $name FAILED (rc=$?)" | tee -a "$LOGDIR/queue.log"
+  fi
+  tail -5 "$LOGDIR/$name.log" | tee -a "$LOGDIR/queue.log"
+}
+
+stage parity3d        python scripts/check_binned_tpu.py parity
+stage parity2d        python scripts/check_2dgs_binned_tpu.py parity
+stage mxu_shapes      python scripts/exp_mxu_kernel_shapes.py --ts 32
+stage bench3d_exact   python scripts/check_binned_tpu.py bench
+stage bench3d_mxu     env GSPLAT_SIGMA_MXU=1 python scripts/check_binned_tpu.py parity bench
+stage bench_official  python bench.py
+stage ts32_2dgs       env TS=32 python scripts/check_2dgs_binned_tpu.py parity bench
+stage profile         python scripts/profile_binned.py
+
+echo "$(date) QUEUE DONE" | tee -a "$LOGDIR/queue.log"

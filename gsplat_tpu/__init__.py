@@ -11,6 +11,7 @@ from .version import __version__
 from .compression import PngCompression
 from .ops import (
     fully_fused_projection,
+    fully_fused_projection_packed,
     isect_tiles,
     quat_scale_to_covar_preci,
     rasterize_to_pixels_ref,
@@ -44,6 +45,7 @@ __all__ = [
     "rasterize_to_indices_in_range_2dgs",
     "rasterize_to_pixels_2dgs_ref",
     "fully_fused_projection",
+    "fully_fused_projection_packed",
     "isect_tiles",
     "quat_scale_to_covar_preci",
     "rasterize_to_pixels_ref",

@@ -2,6 +2,7 @@ from .isect import Isect, isect_tiles, suggest_capacity
 from .projection import (
     fisheye_proj,
     fully_fused_projection,
+    fully_fused_projection_packed,
     ortho_proj,
     persp_proj,
     quat_scale_to_covar_preci,
@@ -16,6 +17,7 @@ __all__ = [
     "isect_tiles",
     "suggest_capacity",
     "fully_fused_projection",
+    "fully_fused_projection_packed",
     "quat_scale_to_covar_preci",
     "quat_to_rotmat",
     "world_to_cam",

@@ -386,6 +386,89 @@ def fully_fused_projection(
     )
 
 
+def fully_fused_projection_packed(
+    means: jax.Array,  # [N, 3]
+    quats: Optional[jax.Array],  # [N, 4] or None if covars given
+    scales: Optional[jax.Array],  # [N, 3]
+    viewmats: jax.Array,  # [C, 4, 4]
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    capacity: int,
+    eps2d: float = 0.3,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    calc_compensations: bool = False,
+    camera_model: str = "pinhole",
+    covars: Optional[jax.Array] = None,  # [N, 3, 3]
+) -> Tuple[
+    jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array,
+    Optional[jax.Array], jax.Array,
+]:
+    """Packed (COO) fused projection with a static capacity.
+
+    TPU-native analogue of the reference's ``packed=True`` mode
+    (gsplat/cuda/_wrapper.py:272-280, csrc/ProjectionEWA3DGSPacked.cu):
+    the reference runs a two-pass nnz compaction on GPU and returns
+    dynamically-shaped [nnz] COO tensors. Dynamic shapes don't exist under
+    XLA, so here the valid (camera, gaussian) pairs are compacted to the
+    front of a fixed ``capacity`` buffer with one stable multi-operand
+    ``lax.sort`` on the validity key (payload sorts are cheap on TPU —
+    PERF.md "lax.sort is CHEAP"); slots past ``nnz`` are padding with
+    ``radii == 0`` and ids ``-1``.
+
+    Ordering matches the reference: camera-major, Gaussian-minor (the
+    stable sort preserves flat [C*N] order among valid entries), so
+    downstream consumers relying on sorted camera_ids (the reference's
+    indptr construction) work unchanged.
+
+    Returns ``(camera_ids [cap] i32, gaussian_ids [cap] i32,
+    radii [cap] i32, means2d [cap, 2], depths [cap], conics [cap, 3],
+    compensations [cap] | None, nnz [] i32)``. If ``nnz > capacity`` the
+    highest-flat-index valid entries are dropped — re-run with a larger
+    capacity (same growth loop as ``isect_capacity``). The float outputs
+    are differentiable w.r.t. means/quats/scales/covars/viewmats (the
+    sort-permutation transpose is the inverse permutation; there is no
+    ``sparse_grad`` option — JAX cotangents are dense by construction).
+    """
+    soa = fully_fused_projection_soa(
+        means, quats, scales, viewmats, Ks, width, height,
+        eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+        radius_clip=radius_clip, calc_compensations=calc_compensations,
+        camera_model=camera_model, covars=covars,
+    )
+    C, N = soa["radii"].shape
+    flat = lambda x: x.reshape(C * N)  # noqa: E731
+    valid = flat(soa["radii"] > 0)
+    key = (~valid).astype(jnp.int32)
+    cam_ids = flat(jax.lax.broadcasted_iota(jnp.int32, (C, N), 0))
+    gau_ids = flat(jax.lax.broadcasted_iota(jnp.int32, (C, N), 1))
+    rows = [
+        flat(soa["mean_x"]), flat(soa["mean_y"]), flat(soa["depth"]),
+        flat(soa["conic_a"]), flat(soa["conic_b"]), flat(soa["conic_c"]),
+    ]
+    if calc_compensations:
+        rows.append(flat(soa["compensation"]))
+    sorted_ops = jax.lax.sort(
+        (key, cam_ids, gau_ids, flat(soa["radii"])) + tuple(rows),
+        num_keys=1, is_stable=True, dimension=0,
+    )
+    cap = min(capacity, C * N)
+    nnz = jnp.sum(valid.astype(jnp.int32))
+    slot_ok = jnp.arange(cap, dtype=jnp.int32) < nnz
+    cam_p = jnp.where(slot_ok, sorted_ops[1][:cap], -1)
+    gau_p = jnp.where(slot_ok, sorted_ops[2][:cap], -1)
+    radii_p = jnp.where(slot_ok, sorted_ops[3][:cap], 0)
+    mean_x, mean_y, depth, con_a, con_b, con_c = (
+        op[:cap] for op in sorted_ops[4:10]
+    )
+    means2d = jnp.stack([mean_x, mean_y], axis=-1)
+    conics = jnp.stack([con_a, con_b, con_c], axis=-1)
+    compensations = sorted_ops[10][:cap] if calc_compensations else None
+    return cam_p, gau_p, radii_p, means2d, depth, conics, compensations, nnz
+
+
 def proj(
     means: jax.Array,  # [C, N, 3] camera-frame
     covars: jax.Array,  # [C, N, 3, 3] camera-frame

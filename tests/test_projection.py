@@ -207,3 +207,103 @@ def test_fully_fused_projection_grads(garden, ref):
     np.testing.assert_allclose(
         np.asarray(g_scales)[agree], scales_t.grad.numpy()[agree], rtol=1e-2, atol=5e-2
     )
+
+
+@pytest.mark.parametrize("calc_compensations", [False, True])
+def test_packed_projection_matches_dense(garden, calc_compensations):
+    """Packed COO output == dense output compacted by the radii mask
+    (reference contract: gsplat/cuda/_wrapper.py:272-280)."""
+    args = (
+        jnp.asarray(garden["means"]), jnp.asarray(garden["quats"]),
+        jnp.asarray(garden["scales"]), jnp.asarray(garden["viewmats"]),
+        jnp.asarray(garden["Ks"]), garden["width"], garden["height"],
+    )
+    radii_d, means2d_d, depths_d, conics_d, comp_d = P.fully_fused_projection(
+        *args, calc_compensations=calc_compensations
+    )
+    C, N = radii_d.shape
+    cap = C * N  # ample capacity
+    cam, gid, radii_p, means2d_p, depths_p, conics_p, comp_p, nnz = (
+        P.fully_fused_projection_packed(
+            *args, capacity=cap, calc_compensations=calc_compensations
+        )
+    )
+    valid = np.asarray(radii_d) > 0
+    n = int(np.asarray(nnz))
+    assert n == valid.sum()
+    cam, gid = np.asarray(cam), np.asarray(gid)
+    # padding slots are sentinel-marked
+    assert (cam[n:] == -1).all() and (gid[n:] == -1).all()
+    assert (np.asarray(radii_p)[n:] == 0).all()
+    # camera-major ordering, like the reference's two-pass compaction
+    flat_ids = cam[:n] * N + gid[:n]
+    assert (np.diff(flat_ids) > 0).all()
+    # packed rows == dense rows at (cam, gid)
+    np.testing.assert_array_equal(
+        np.asarray(radii_p)[:n], np.asarray(radii_d)[cam[:n], gid[:n]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(means2d_p)[:n], np.asarray(means2d_d)[cam[:n], gid[:n]], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(depths_p)[:n], np.asarray(depths_d)[cam[:n], gid[:n]], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(conics_p)[:n], np.asarray(conics_d)[cam[:n], gid[:n]], rtol=1e-6
+    )
+    if calc_compensations:
+        np.testing.assert_allclose(
+            np.asarray(comp_p)[:n], np.asarray(comp_d)[cam[:n], gid[:n]], rtol=1e-6
+        )
+    else:
+        assert comp_p is None
+
+
+def test_packed_projection_truncation_and_grads(garden):
+    """Small capacity truncates (keeping the first flat-order entries) and
+    the packed path differentiates like the dense masked path."""
+    args = (
+        jnp.asarray(garden["means"]), jnp.asarray(garden["quats"]),
+        jnp.asarray(garden["scales"]), jnp.asarray(garden["viewmats"]),
+        jnp.asarray(garden["Ks"]), garden["width"], garden["height"],
+    )
+    _, _, _, _, _, _, _, nnz = P.fully_fused_projection_packed(
+        *args, capacity=8
+    )
+    cap_small = int(np.asarray(nnz)) // 2
+    cam_s, gid_s, radii_s, *_ = P.fully_fused_projection_packed(
+        *args, capacity=cap_small
+    )
+    assert (np.asarray(radii_s) > 0).all()  # every slot filled when truncated
+
+    cap = int(np.asarray(nnz)) + 7  # some padding slots
+
+    def loss_packed(means, quats, scales):
+        _, _, radii_p, means2d_p, depths_p, conics_p, _, _ = (
+            P.fully_fused_projection_packed(
+                means, quats, scales, args[3], args[4], args[5], args[6],
+                capacity=cap,
+            )
+        )
+        m = (radii_p > 0).astype(jnp.float32)
+        return (
+            (means2d_p * m[:, None]).sum()
+            + (depths_p * m).sum()
+            + (conics_p * m[:, None]).sum() * 1e-3
+        )
+
+    def loss_dense(means, quats, scales):
+        radii_d, means2d_d, depths_d, conics_d, _ = P.fully_fused_projection(
+            means, quats, scales, args[3], args[4], args[5], args[6]
+        )
+        m = (radii_d > 0).astype(jnp.float32)
+        return (
+            (means2d_d * m[..., None]).sum()
+            + (depths_d * m).sum()
+            + (conics_d * m[..., None]).sum() * 1e-3
+        )
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(*args[:3])
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(*args[:3])
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -142,7 +142,7 @@ def main():
             H,
             sh_degree=sh_degree,
             masks=live,
-            backend="tiled" if on_tpu else "oracle",
+            backend="binned" if on_tpu else "oracle",
             isect_capacity=isect_capacity,
         )
         img = (np.clip(np.asarray(render[0]), 0, 1) * 255).astype(np.uint8)

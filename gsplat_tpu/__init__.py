@@ -10,10 +10,14 @@ from ._helper import load_test_data
 from .version import __version__
 from .compression import PngCompression
 from .ops import (
+    accumulate,
+    accumulate_2dgs,
     fully_fused_projection,
     fully_fused_projection_packed,
     isect_tiles,
     quat_scale_to_covar_preci,
+    rasterize_to_pixels,
+    rasterize_to_pixels_2dgs,
     rasterize_to_pixels_ref,
     spherical_harmonics,
 )
@@ -32,6 +36,8 @@ from .strategy import DefaultStrategy, MCMCStrategy, Strategy
 
 
 __all__ = [
+    "accumulate",
+    "accumulate_2dgs",
     "rasterization",
     "rasterization_2dgs",
     "PngCompression",
@@ -48,6 +54,8 @@ __all__ = [
     "fully_fused_projection_packed",
     "isect_tiles",
     "quat_scale_to_covar_preci",
+    "rasterize_to_pixels",
+    "rasterize_to_pixels_2dgs",
     "rasterize_to_pixels_ref",
     "spherical_harmonics",
     "load_test_data",

@@ -1,3 +1,4 @@
+from .accumulate import accumulate, accumulate_2dgs
 from .isect import Isect, isect_tiles, suggest_capacity
 from .projection import (
     fisheye_proj,
@@ -9,10 +10,13 @@ from .projection import (
     quat_to_rotmat,
     world_to_cam,
 )
+from .rasterize import rasterize_to_pixels, rasterize_to_pixels_2dgs
 from .rasterize_ref import rasterize_to_pixels_ref
 from .sh import eval_sh_bases, spherical_harmonics
 
 __all__ = [
+    "accumulate",
+    "accumulate_2dgs",
     "Isect",
     "isect_tiles",
     "suggest_capacity",
@@ -24,6 +28,8 @@ __all__ = [
     "persp_proj",
     "ortho_proj",
     "fisheye_proj",
+    "rasterize_to_pixels",
+    "rasterize_to_pixels_2dgs",
     "rasterize_to_pixels_ref",
     "spherical_harmonics",
     "eval_sh_bases",

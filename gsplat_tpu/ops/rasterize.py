@@ -1,0 +1,135 @@
+"""Reference-named rasterizer entry points (`rasterize_to_pixels`,
+`rasterize_to_pixels_2dgs`) dispatching over the TPU backends.
+
+Parity: gsplat/cuda/_wrapper.py `rasterize_to_pixels` (:357) and
+`rasterize_to_pixels_2dgs` (:1595). The reference signature takes
+precomputed ``(isect_offsets, flatten_ids)`` from ``isect_tiles`` +
+``isect_offset_encode`` because its binning runs as standalone CUDA
+kernels. On TPU the intersection products live *inside* the engine (the
+binned pipeline fuses emit -> payload sort -> kernels; the tiled pipeline
+consumes the `Isect` record), so these wrappers take ``radii``/``depths``
+plus a static ``capacity`` and build the intersection state internally —
+same inputs the reference pipeline derives them from, same outputs, one
+call instead of three. Use ``gsplat_tpu.isect_tiles`` directly when you
+need the intermediate products themselves.
+
+Returns include an ``aux`` dict ({"n_isects", "slab_required"} where the
+backend produces them) — the out-of-jit capacity-growth signal that
+replaces the reference's dynamic [nnz] allocations.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+
+from .isect import isect_tiles
+from .rasterize_ref import rasterize_to_pixels_ref
+
+
+def _dims(image_width: int, image_height: int, tile_size: int):
+    return -(-image_width // tile_size), -(-image_height // tile_size)
+
+
+def rasterize_to_pixels(
+    means2d: jax.Array,  # [C, N, 2] (or (mx, my) [C, N] tuple)
+    conics: jax.Array,  # [C, N, 3] (or (a, b, c) tuple)
+    colors: jax.Array,  # [C, N, D]
+    opacities: jax.Array,  # [C, N]
+    radii: jax.Array,  # [C, N] i32
+    depths: jax.Array,  # [C, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int = 16,
+    capacity: Optional[int] = None,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+    backend: str = "auto",
+) -> Tuple[jax.Array, jax.Array, Dict]:
+    """3DGS tile rasterization. Returns (render_colors [C,H,W,D],
+    render_alphas [C,H,W,1], aux)."""
+    if backend == "auto":
+        backend = "binned" if capacity is not None else "oracle"
+    as_arr = lambda x, last: (  # noqa: E731
+        jax.numpy.stack(x, axis=-1) if isinstance(x, (tuple, list)) else x
+    )
+    if backend == "oracle":
+        render, alphas = rasterize_to_pixels_ref(
+            as_arr(means2d, 2), as_arr(conics, 3), colors, opacities,
+            radii, depths, image_width, image_height, tile_size, backgrounds,
+        )
+        return render, alphas, {}
+    if backend == "binned":
+        from .rasterize_binned import rasterize_to_pixels_binned
+
+        return rasterize_to_pixels_binned(
+            means2d, conics, colors, opacities, radii, depths,
+            image_width, image_height, tile_size, capacity,
+            backgrounds=backgrounds,
+        )
+    if backend == "tiled":
+        from .rasterize_tiled import rasterize_to_pixels_tiled
+
+        tw, th = _dims(image_width, image_height, tile_size)
+        isect = isect_tiles(
+            means2d, radii, depths, tile_size, tw, th, capacity=capacity
+        )
+        render, alphas = rasterize_to_pixels_tiled(
+            means2d, conics, colors, opacities, image_width, image_height,
+            tile_size, isect, backgrounds=backgrounds,
+        )
+        return render, alphas, {"n_isects": isect.n_isects}
+    raise ValueError(f"Unknown backend: {backend}")
+
+
+def rasterize_to_pixels_2dgs(
+    means2d: jax.Array,  # [C, N, 2]
+    ray_transforms: jax.Array,  # [C, N, 3, 3]
+    colors: jax.Array,  # [C, N, D] — last channel must be the depth
+    normals: jax.Array,  # [C, N, 3]
+    opacities: jax.Array,  # [C, N]
+    radii: jax.Array,  # [C, N] i32
+    depths: jax.Array,  # [C, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int = 16,
+    capacity: Optional[int] = None,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+    backend: str = "auto",
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, Dict]:
+    """2DGS tile rasterization. Returns (render_colors [C,H,W,D],
+    render_alphas [C,H,W,1], render_normals [C,H,W,3] camera-frame,
+    render_distort [C,H,W,1], render_median [C,H,W,1], aux)."""
+    if backend == "auto":
+        backend = "binned" if capacity is not None else "oracle"
+    if backend == "oracle":
+        from .rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
+
+        outs = rasterize_to_pixels_2dgs_ref(
+            means2d, ray_transforms, colors, normals, opacities, radii,
+            depths, image_width, image_height, tile_size, backgrounds,
+        )
+        return outs + ({},)
+    if backend == "binned":
+        from .rasterize_2dgs_binned import rasterize_to_pixels_2dgs_binned
+
+        outs = rasterize_to_pixels_2dgs_binned(
+            means2d, ray_transforms, colors, normals, opacities, radii,
+            depths, image_width, image_height, tile_size, capacity,
+            backgrounds=backgrounds,
+        )
+        return outs
+    if backend == "tiled":
+        from .rasterize_2dgs_tiled import rasterize_to_pixels_2dgs_tiled
+
+        tw, th = _dims(image_width, image_height, tile_size)
+        isect = isect_tiles(
+            means2d, radii, depths, tile_size, tw, th, capacity=capacity
+        )
+        outs = rasterize_to_pixels_2dgs_tiled(
+            means2d, ray_transforms, colors, normals, opacities,
+            image_width, image_height, tile_size, isect,
+            backgrounds=backgrounds,
+        )
+        return outs + ({"n_isects": isect.n_isects},)
+    raise ValueError(f"Unknown backend: {backend}")

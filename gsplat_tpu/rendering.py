@@ -81,7 +81,9 @@ def rasterization(
     assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
 
     if backend == "auto":
-        backend = "tiled" if isect_capacity is not None else "oracle"
+        # the binned engine is the fast path (2.57x the tiled pipeline on
+        # v5e, PERF.md round-2); matches the 2DGS auto rule below
+        backend = "binned" if isect_capacity is not None else "oracle"
 
     proj = fully_fused_projection_soa(
         means,

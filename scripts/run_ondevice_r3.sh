@@ -36,3 +36,13 @@ stage ts32_2dgs       env TS=32 python scripts/check_2dgs_binned_tpu.py parity b
 stage profile         python scripts/profile_binned.py
 
 echo "$(date) QUEUE DONE" | tee -a "$LOGDIR/queue.log"
+
+# quality runs (hours) start only after the timing-sensitive stages above
+# have the chip to themselves AND both parities validated the kernels
+if [ -f "$LOGDIR/parity3d.ok" ] && [ -f "$LOGDIR/parity2d.ok" ]; then
+  echo "$(date) starting quality runs" | tee -a "$LOGDIR/queue.log"
+  LOGDIR="$LOGDIR" bash scripts/run_quality_r3.sh > "$LOGDIR/quality.log" 2>&1
+  echo "$(date) quality runs done" | tee -a "$LOGDIR/queue.log"
+else
+  echo "$(date) parity NOT green; quality runs withheld" | tee -a "$LOGDIR/queue.log"
+fi

@@ -85,7 +85,12 @@ def _fwd_kernel(
     t = pl.program_id(0)
     off = offs_ref[t]
     n = cnts_ref[t]
-    astart = (off // K) * K
+    # LANES-aligned (not K-aligned) stream base: DMA offsets only need
+    # 128-lane alignment, and the tighter base cuts the masked-out
+    # front-of-range boundary lanes from avg K/2 to LANES/2 entries per
+    # tile (~15-25% of kernel compute at bench scale). Bit-exact: the
+    # extra lanes were colmask-invalid no-ops.
+    astart = (off // LANES) * LANES
     nb = pl.cdiv(off + n - astart, K)
     NS = K // LANES  # 128-lane compute slices per DMA batch
 
@@ -283,7 +288,12 @@ def _bwd_kernel(
     off = offs_ref[t]
     n = cnts_ref[t]
     aoff = aoff_ref[t]
-    astart = (off // K) * K
+    # LANES-aligned (not K-aligned) stream base: DMA offsets only need
+    # 128-lane alignment, and the tighter base cuts the masked-out
+    # front-of-range boundary lanes from avg K/2 to LANES/2 entries per
+    # tile (~15-25% of kernel compute at bench scale). Bit-exact: the
+    # extra lanes were colmask-invalid no-ops.
+    astart = (off // LANES) * LANES
     NS = K // LANES
 
     rem = t % (th * tw)
@@ -788,6 +798,13 @@ def rasterize_to_pixels_binned(
     """
     if sigma_mxu is None:
         sigma_mxu = os.environ.get("GSPLAT_SIGMA_MXU", "0") == "1"
+    # on-device sweep hooks: with the LANES-aligned stream base the
+    # back-of-range boundary waste scales with K, so smaller K trades DMA
+    # count against masked lanes — measure, don't guess
+    if os.environ.get("GSPLAT_KF"):
+        batch_size = int(os.environ["GSPLAT_KF"])
+    if os.environ.get("GSPLAT_KB"):
+        bwd_batch_size = int(os.environ["GSPLAT_KB"])
     if isinstance(means2d, (tuple, list)):
         mean_x, mean_y = means2d
     else:

@@ -21,6 +21,7 @@ the same oracle. Reference roles: gsplat/cuda/csrc/RasterizeToPixels2DGS*
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -676,6 +677,10 @@ def rasterize_to_pixels_2dgs_binned(
     P = ts * ts
     Lp = _round_up(L, 8)
     F = _round_up(NFIX + Lp + 1, 8)
+    if os.environ.get("GSPLAT_KF"):  # on-device sweep hook (see 3DGS twin)
+        batch_size = int(os.environ["GSPLAT_KF"])
+    if os.environ.get("GSPLAT_KB"):
+        bwd_batch_size = int(os.environ["GSPLAT_KB"])
     KF = batch_size
     if bwd_batch_size is None:
         # the 2DGS bwd live set exceeds scoped VMEM past P*KB ~ 256*128

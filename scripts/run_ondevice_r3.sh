@@ -33,6 +33,7 @@ stage bench3d_exact   python scripts/check_binned_tpu.py bench
 stage bench3d_mxu     env GSPLAT_SIGMA_MXU=1 python scripts/check_binned_tpu.py parity bench
 stage bench_official  python bench.py
 stage bench_kf256     env GSPLAT_KF=256 python scripts/check_binned_tpu.py bench
+stage bench_kf128     env GSPLAT_KF=128 python scripts/check_binned_tpu.py bench
 stage ts32_2dgs       env TS=32 python scripts/check_2dgs_binned_tpu.py parity bench
 stage profile         python scripts/profile_binned.py
 

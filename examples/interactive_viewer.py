@@ -110,6 +110,10 @@ class Viewer:
         )
         if sh_degree is not None:
             colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
+            # cap the requested degree by what the checkpoint carries
+            # (same guard as simple_viewer.py): (deg+1)^2 bases needed
+            deg_avail = int(np.sqrt(colors.shape[1])) - 1
+            sh_degree = min(sh_degree, deg_avail)
         else:
             colors = params["colors"]
 
@@ -253,6 +257,8 @@ def main():
 
     live = None
     sh_degree = args.sh_degree
+    if args.demo and args.ckpt:
+        ap.error("--demo and --ckpt are mutually exclusive")
     if args.ckpt:
         blob = np.load(args.ckpt)
         if any(k.startswith("splat/") for k in blob.files):

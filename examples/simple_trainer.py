@@ -478,23 +478,26 @@ class Runner:
                     f"[isect] WARNING: n_isects={n_isects} exceeded capacity "
                     f"{self.isect_capacity}; this step was truncated"
                 )
-            self.isect_capacity = _round_up(
-                int(n_isects * cfg.isect_headroom), 4096
-            )
-            print(f"[isect] n_isects={n_isects} -> capacity {self.isect_capacity}")
-            grew = True
+            # only recompile when the target actually grows: with
+            # isect_headroom <= 1.25 the 0.8 threshold would otherwise
+            # re-trigger (and re-jit the step) every single step
+            new_cap = _round_up(int(n_isects * cfg.isect_headroom), 4096)
+            if new_cap > self.isect_capacity:
+                self.isect_capacity = new_cap
+                print(f"[isect] n_isects={n_isects} -> capacity {new_cap}")
+                grew = True
         if cfg.packed and pack_required > 0.8 * self.pack_capacity:
             if pack_required > self.pack_capacity:
                 print(
                     f"[pack] WARNING: pack_required={pack_required} exceeded "
                     f"capacity {self.pack_capacity}; this step was truncated"
                 )
-            self.pack_capacity = _round_up(
-                int(pack_required * cfg.isect_headroom), 512
-            )
-            print(f"[pack] pack_required={pack_required} -> "
-                  f"capacity {self.pack_capacity}")
-            grew = True
+            new_cap = _round_up(int(pack_required * cfg.isect_headroom), 512)
+            if new_cap > self.pack_capacity:
+                self.pack_capacity = new_cap
+                print(f"[pack] pack_required={pack_required} -> "
+                      f"capacity {new_cap}")
+                grew = True
         if grew:
             self._step_fn = None
 
@@ -814,10 +817,11 @@ class Runner:
                 height,
                 mesh=self.mesh,
                 sh_degree=self.cfg.sh_degree,
-                backend="binned",
+                backend=self._backend,
                 isect_capacity=4096,
                 masks=self.live,
                 tile_size=self.cfg.tile_size,
+                camera_model=self.cfg.camera_model,
             )
         return rasterization(
             self.params["means"],
@@ -830,7 +834,7 @@ class Runner:
             width,
             height,
             sh_degree=self.cfg.sh_degree,
-            backend="binned",
+            backend=self._backend,
             isect_capacity=4096,
             masks=self.live,
             tile_size=self.cfg.tile_size,

@@ -113,6 +113,21 @@ def _raster_rows(
     return render, alphas, zero, zero
 
 
+def _depth_mode_backgrounds(backgrounds, render_mode, C):
+    """Match the colors' depth-channel augmentation in the backgrounds,
+    exactly like the single-device paths (rendering.py:148-157, 368-377):
+    depth-carrying channels composite over a zero background."""
+    if backgrounds is None:
+        return None
+    if render_mode in ("RGB+D", "RGB+ED"):
+        return jnp.concatenate(
+            [backgrounds, jnp.zeros((C, 1), backgrounds.dtype)], axis=-1
+        )
+    if render_mode in ("D", "ED"):
+        return jnp.zeros((C, 1), backgrounds.dtype)
+    return backgrounds
+
+
 def _shard_backgrounds(backgrounds, axis, C, n_shards):
     if backgrounds is None:
         return None
@@ -180,6 +195,7 @@ def rasterization_distributed(
     )
     if backend == "auto":
         backend = "binned" if isect_capacity is not None else "oracle"
+    backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
 
     if per_camera_colors:
         assert sh_degree is None
@@ -375,6 +391,7 @@ def rasterization_distributed_packed(
     assert C % n_shards == 0
     if backend == "auto":
         backend = "binned" if isect_capacity is not None else "oracle"
+    backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
 
     if sh_degree is not None:
         color_spec = P(axis, None, None)
@@ -576,6 +593,7 @@ def rasterization_2dgs_distributed(
     )
     if backend == "auto":
         backend = "binned" if isect_capacity is not None else "oracle"
+    backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
 
     if per_camera_colors:
         assert sh_degree is None

@@ -50,6 +50,11 @@ def rasterize_to_pixels(
     render_alphas [C,H,W,1], aux)."""
     if backend == "auto":
         backend = "binned" if capacity is not None else "oracle"
+    if backend in ("binned", "tiled"):
+        assert capacity is not None, (
+            f"backend={backend!r} needs a static `capacity` (intersection "
+            "budget); pass one or use backend='oracle'"
+        )
     as_arr = lambda x, last: (  # noqa: E731
         jax.numpy.stack(x, axis=-1) if isinstance(x, (tuple, list)) else x
     )
@@ -102,6 +107,11 @@ def rasterize_to_pixels_2dgs(
     render_distort [C,H,W,1], render_median [C,H,W,1], aux)."""
     if backend == "auto":
         backend = "binned" if capacity is not None else "oracle"
+    if backend in ("binned", "tiled"):
+        assert capacity is not None, (
+            f"backend={backend!r} needs a static `capacity` (intersection "
+            "budget); pass one or use backend='oracle'"
+        )
     if backend == "oracle":
         from .rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
 

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import emit_entries, sort_entries
-from .rasterize_binned import _ecopy, _reduce_call
+from .rasterize_binned import RK, _ecopy, _reduce_call
 from .rasterize_ref import ALPHA_MAX, ALPHA_MIN, TRANSMITTANCE_EPS
 from .rasterize_2dgs_tiled import NFIX, _sigma_2dgs
 from .rasterize_tiled import LANES, _cum_lanes, _cumprod_lanes, _interpret, _round_up
@@ -583,6 +583,11 @@ def _raster_2dgs_binned_fwd(cfg, packed, radii, depths):
         ],
         axis=0,
     )
+    # see the 3DGS twin: LANES-aligned stream base can read past capA by
+    # up to max(K)-LANES columns at the slab boundary — pad, don't overrun
+    overrun = max(KF, KB) - LANES
+    if overrun > 0:
+        entries = jnp.pad(entries, ((0, 0), (0, overrun)))
     accum, logT, last, dist, med = _fwd2_call(cfg, entries, binned.offs, binned.cnts)
     res = (entries, binned.offs, binned.cnts, logT, last,
            accum[:, md : md + 1, :])
@@ -595,7 +600,9 @@ def _raster_2dgs_binned_bwd(cfg, res, cts):
     v_accum, v_logT, v_dist, _v_med, _, _ = cts
     acnt = ((cnts + KB - 1) // KB + 1) * KB
     aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
-    capA2 = _round_up(capA + 2 * KB * T, LANES)
+    # RK-rounded for the reduce kernel's RK-aligned block reads (see the
+    # 3DGS twin's comment)
+    capA2 = _round_up(capA + 2 * KB * T, RK)
     vgr = _bwd2_call(
         cfg, entries, offs, cnts, aoff, capA2, logT, last, wmtot,
         v_accum, v_logT, v_dist,
@@ -679,8 +686,10 @@ def rasterize_to_pixels_2dgs_binned(
     F = _round_up(NFIX + Lp + 1, 8)
     if os.environ.get("GSPLAT_KF"):  # on-device sweep hook (see 3DGS twin)
         batch_size = int(os.environ["GSPLAT_KF"])
+        assert batch_size > 0 and batch_size % LANES == 0, batch_size
     if os.environ.get("GSPLAT_KB"):
         bwd_batch_size = int(os.environ["GSPLAT_KB"])
+        assert bwd_batch_size > 0 and bwd_batch_size % LANES == 0, bwd_batch_size
     KF = batch_size
     if bwd_batch_size is None:
         # the 2DGS bwd live set exceeds scoped VMEM past P*KB ~ 256*128

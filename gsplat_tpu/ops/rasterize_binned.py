@@ -711,6 +711,13 @@ def _raster_binned_fwd(cfg, packed, absc, radii, depths):
         ],
         axis=0,
     )
+    # the kernels' LANES-aligned stream base makes the last DMA of a tile
+    # whose range ends at the slab boundary read up to max(K)-LANES columns
+    # past capA — pad with zeros (colmask-invalid, so semantically inert)
+    # instead of reading out of bounds
+    overrun = max(KF, KB) - LANES
+    if overrun > 0:
+        entries = jnp.pad(entries, ((0, 0), (0, overrun)))
     accum, logT, last = _fwd_call(cfg, entries, binned.offs, binned.cnts)
     res = (entries, binned.offs, binned.cnts, logT, last)
     return (accum, logT, binned.n_isects, binned.slab_required), res
@@ -722,7 +729,10 @@ def _raster_binned_bwd(cfg, res, cts):
     v_accum, v_logT, _, _ = cts
     acnt = ((cnts + KB - 1) // KB + 1) * KB  # +KB: astart may precede offs
     aoff = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
-    capA2 = _round_up(capA + 2 * KB * T, LANES)
+    # RK-rounded (not just LANES): _reduce_kernel DMAs RK-aligned blocks
+    # whose last read ends at round_up(hi, RK) — a LANES-only rounding
+    # lets it run past the array when T is odd (2*KB*T ≡ 256 mod 512)
+    capA2 = _round_up(capA + 2 * KB * T, RK)
     vgr = _bwd_call(
         cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT
     )
@@ -803,8 +813,10 @@ def rasterize_to_pixels_binned(
     # count against masked lanes — measure, don't guess
     if os.environ.get("GSPLAT_KF"):
         batch_size = int(os.environ["GSPLAT_KF"])
+        assert batch_size > 0 and batch_size % LANES == 0, batch_size
     if os.environ.get("GSPLAT_KB"):
         bwd_batch_size = int(os.environ["GSPLAT_KB"])
+        assert bwd_batch_size > 0 and bwd_batch_size % LANES == 0, bwd_batch_size
     if isinstance(means2d, (tuple, list)):
         mean_x, mean_y = means2d
     else:

@@ -432,3 +432,31 @@ def test_distributed_antialiased(rng, mesh):
     )(*sharded)
     np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5)
+
+
+def test_distributed_depth_mode_with_backgrounds(rng, mesh):
+    """Regression: depth render modes append a channel to colors; the
+    backgrounds must gain the matching zero depth channel inside the
+    distributed paths exactly like rendering.py does (pre-fix this was a
+    shape mismatch at trace time)."""
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(rng)
+    args = tuple(
+        jnp.asarray(x) for x in (means, quats, scales, opac, colors)
+    )
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    bg = jnp.asarray(rng.random((viewmats.shape[0], 3)).astype(np.float32))
+
+    shardings = [NamedSharding(mesh, P("gauss"))] * 5
+    sharded = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
+    for mode in ("RGB+D", "D"):
+        r0, a0, _ = rasterization(
+            *args, vm, K, W, H, backgrounds=bg, render_mode=mode
+        )
+        r1, a1, _ = jax.jit(
+            lambda *a, mode=mode: rasterization_distributed(
+                *a, vm, K, W, H, mesh=mesh, backgrounds=bg,
+                render_mode=mode, backend="oracle",
+            )
+        )(*sharded)
+        np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5, err_msg=mode)

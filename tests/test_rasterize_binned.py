@@ -276,3 +276,46 @@ def test_rasterization_binned_backend(rng):
         )
     assert int(m1["n_isects"]) > 0
     assert int(m1["slab_required"]) >= int(m1["n_isects"])
+
+
+def test_full_slab_boundary_reads(rng):
+    """Regression: with the LANES-aligned stream base, a tile whose range
+    ends flush against the end of the slab makes the kernel's last DMA
+    extend past the un-padded capacity (interpret mode clamps the slice ->
+    silently WRONG entries; OOB HBM reads on hardware). cull=False keeps
+    every emitted entry live, so capacity == slab_required puts the final
+    tile's range end exactly at capA; the entries slab must be padded by
+    max(KF, KB) - LANES columns for the boundary reads to stay in bounds."""
+    radii, means2d, depths, conics, colors, opac = _scene(rng, N=400)
+    W, H, ts = 64, 48, 16
+    _, _, aux = rasterize_to_pixels_binned(
+        means2d, conics, colors, opac, radii, depths, W, H, ts,
+        capacity=65536, cull=False,
+    )
+    need = int(aux["slab_required"])  # emit budget incl. per-block padding
+    n_live = int(aux["n_isects"])  # sorted live entries (ranges end here)
+    assert need > 512  # the stream crosses at least one K window
+    # the overrun needs the live stream end within K - LANES of the
+    # 512-rounded capacity; this scene must provide that or the test is
+    # vacuous (capA == round_up(need, 512) at cap=need)
+    capA = -(-need // 512) * 512
+    assert capA - n_live < 384, (
+        f"adjust the scene: slack {capA - n_live} can't overrun"
+    )
+    ref, ref_a = rasterize_to_pixels_ref(
+        means2d, conics, colors, opac, radii, depths, W, H, ts
+    )
+    for cap in (need,):
+        out, alphas, aux2 = rasterize_to_pixels_binned(
+            means2d, conics, colors, opac, radii, depths, W, H, ts,
+            capacity=cap, cull=False,
+        )
+        assert int(aux2["n_isects"]) == n_live, cap
+        assert np.isfinite(np.asarray(out)).all(), cap
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, err_msg=f"cap={cap}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(alphas), np.asarray(ref_a), atol=2e-5,
+            err_msg=f"cap={cap}",
+        )

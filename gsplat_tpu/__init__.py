@@ -24,6 +24,11 @@ from .ops import (
 from .ops.isect import isect_offset_encode
 from .ops.projection import fully_fused_projection_soa, proj, world_to_cam
 from .ops.projection_2dgs import fully_fused_projection_2dgs
+
+# drop-in alias: the reference exports this op under a misspelled name
+# (gsplat/__init__.py "full_fused_projection_2dgs"); keep both so code
+# written against the reference imports unchanged.
+full_fused_projection_2dgs = fully_fused_projection_2dgs
 from .ops.rasterize_ref import rasterize_to_indices_in_range
 from .ops.rasterize_2dgs_ref import (
     rasterize_to_indices_in_range_2dgs,
@@ -47,6 +52,7 @@ __all__ = [
     "isect_offset_encode",
     "fully_fused_projection_soa",
     "fully_fused_projection_2dgs",
+    "full_fused_projection_2dgs",
     "rasterize_to_indices_in_range",
     "rasterize_to_indices_in_range_2dgs",
     "rasterize_to_pixels_2dgs_ref",

@@ -39,6 +39,67 @@ from .rasterize_tiled import LANES, _cum_lanes, _cumprod_lanes, _interpret, _rou
 
 
 # ---------------------------------------------------------------------------
+# Coefficient-form sigma (gated by GSPLAT_2DGS_COEF, default off)
+# ---------------------------------------------------------------------------
+#
+# The surfel sigma's cross products are AFFINE in the pixel coords: with
+# hu(px) = huc + pxl*r2 and hv(py) = hvc + pyl*r2 (hu depends only on px,
+# hv only on py; huc/hvc anchored at the tile center x0/y0),
+#
+#   cr = hu x hv = (huc x hvc) + pxl*(r2 x hvc) + pyl*(huc x r2)
+#
+# — the pxl*pyl term is r2 x r2 = 0, cancelling identically. So nine
+# per-entry [1, LANES] coefficient rows (~P x cheaper than per-pixel math)
+# plus two broadcast FMAs per cross replace the 21 [P, LANES]-wide
+# hu/hv/cross passes of `_sigma_2dgs`, and drop 6 [P, LANES] live arrays
+# from the kernel's VMEM set. Tile-center anchoring bounds |pxl| <= ts/2,
+# keeping the affine reconstruction's cancellation small (the same
+# argument as the 3DGS mxu_sigma tile-center basis). The backward's nine
+# v_M reductions become linear in the (1, pxl, pyl) moments of v_cr_k, so
+# one [P,8]^T @ [P,LANES] MXU contraction per cross (+ one for the 2D
+# branch) replaces the v_hu/v_hv cross-VJP chains — the same moment trick
+# the 3DGS bwd kernel uses. Semantics match `_sigma_2dgs` up to f32
+# reassociation (reference math: _torch_impl_2dgs.py:171-271).
+
+
+def _cross_rows(x, y):
+    return [
+        x[1] * y[2] - x[2] * y[1],
+        x[2] * y[0] - x[0] * y[2],
+        x[0] * y[1] - x[1] * y[0],
+    ]
+
+
+def _coef_rows(e, x0, y0):
+    """Per-entry [1, LANES] affine coefficients of the cross products."""
+    m = [e[2 + i : 3 + i, :] for i in range(9)]
+    huc = [x0 * m[6 + i] - m[i] for i in range(3)]
+    hvc = [y0 * m[6 + i] - m[3 + i] for i in range(3)]
+    r2 = [m[6], m[7], m[8]]
+    a = _cross_rows(huc, hvc)
+    b = _cross_rows(r2, hvc)
+    c = _cross_rows(huc, r2)
+    return m, huc, hvc, r2, a, b, c
+
+
+def _sigma_2dgs_coef(pxl, pyl, gxl, gyl, a, b, c):
+    """[P, LANES] sigma from the affine coefficient rows."""
+    cr0 = a[0] + pxl * b[0] + pyl * c[0]
+    cr1 = a[1] + pxl * b[1] + pyl * c[1]
+    cr2 = a[2] + pxl * b[2] + pyl * c[2]
+    crz = jnp.where(jnp.abs(cr2) < 1e-12, 1e-12, cr2)
+    u = cr0 / crz
+    v = cr1 / crz
+    dx = pxl - gxl
+    dy = pyl - gyl
+    sig3 = u * u + v * v
+    sig2 = 2.0 * (dx * dx + dy * dy)
+    use3d = sig3 <= sig2
+    sig = 0.5 * jnp.minimum(sig3, sig2)
+    return sig, use3d, u, v, crz, dx, dy
+
+
+# ---------------------------------------------------------------------------
 # Forward kernel (unaligned tile ranges over the sorted stream)
 # ---------------------------------------------------------------------------
 
@@ -60,7 +121,7 @@ def _fwd2_kernel(
     Tov_s,  # [P, LANES] f32 scratch
     lv_s,  # [P, LANES] i32 scratch
     done_s,  # [1] i32 SMEM: whole-tile saturation flag
-    *, K, P, L, Lp, md, ts, tw, th, native, skip,
+    *, K, P, L, Lp, md, ts, tw, th, native, skip, coef,
 ):
     t = pl.program_id(0)
     off = offs_ref[t]
@@ -81,6 +142,12 @@ def _fwd2_kernel(
     px = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
     py = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    if coef:
+        # tile-CENTER local coords (|pxl| <= ts/2) for the affine form
+        pxl = (pix % ts).astype(jnp.float32) + (0.5 - ts / 2)
+        pyl = (pix // ts).astype(jnp.float32) + (0.5 - ts / 2)
+        x0 = (tx * ts).astype(jnp.float32) + (ts / 2)
+        y0 = (ty * ts).astype(jnp.float32) + (ts / 2)
 
     accum_ref[...] = jnp.zeros_like(accum_ref)
     zp = jnp.zeros((P, 1), jnp.float32)
@@ -122,7 +189,15 @@ def _fwd2_kernel(
             for s in range(NS):
                 e = eb[:, s * LANES : (s + 1) * LANES]
                 op = e[11:12, :]
-                sig, _, _, _, _, _, _, _, _, _ = _sigma_2dgs(e, px, py, L)
+                if coef:
+                    _, _, _, _, ar, br, cr = _coef_rows(e, x0, y0)
+                    gxl = e[0:1, :] - x0
+                    gyl = e[1:2, :] - y0
+                    sig, _, _, _, _, _, _ = _sigma_2dgs_coef(
+                        pxl, pyl, gxl, gyl, ar, br, cr
+                    )
+                else:
+                    sig, _, _, _, _, _, _, _, _, _ = _sigma_2dgs(e, px, py, L)
                 araw = op * jnp.exp(-sig)
                 alpha = jnp.minimum(araw, ALPHA_MAX)
                 gidx = astart + b * K + s * LANES + kidx
@@ -222,7 +297,7 @@ def _bwd2_kernel(
     _vz_hbm,
     vgr_hbm,  # [GR, capA2] out: row 0 = gid, 1.. = grads
     ebuf, esem, wbuf, wsem,
-    *, K, P, PB, L, Lp, GR, md, ts, tw, th, native,
+    *, K, P, PB, L, Lp, GR, md, ts, tw, th, native, coef,
 ):
     t = pl.program_id(0)
     off = offs_ref[t]
@@ -249,6 +324,14 @@ def _bwd2_kernel(
     px_all = (tx * ts + pix % ts).astype(jnp.float32) + 0.5
     py_all = (ty * ts + pix // ts).astype(jnp.float32) + 0.5
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    if coef:
+        # tile-CENTER local coords + (1, pxl, pyl) moment basis per sub-block
+        pxl_all = (pix % ts).astype(jnp.float32) + (0.5 - ts / 2)
+        pyl_all = (pix // ts).astype(jnp.float32) + (0.5 - ts / 2)
+        x0 = (tx * ts).astype(jnp.float32) + (ts / 2)
+        y0 = (ty * ts).astype(jnp.float32) + (ts / 2)
+        ones_pb = jnp.ones((PB, 1), jnp.float32)
+        zeros_pb = jnp.zeros((PB, 5), jnp.float32)
 
     last_row = last_ref[0]
     last_all = jnp.transpose(last_row, (1, 0))
@@ -303,6 +386,13 @@ def _bwd2_kernel(
             # independent of the others)
             num_acc = None
             S_new, sG_new, sW_new, sWM_new = [], [], [], []
+            if coef:
+                # per-entry rows are pixel-independent: build once per slice
+                # (the exact path rebuilds hu/hv inside every sub-block)
+                _, huc, hvc, r2, ar, br, crr = _coef_rows(e, x0, y0)
+                gxl = e[0:1, :] - x0
+                gyl = e[1:2, :] - y0
+                Mcr0 = Mcr1 = Mcr2 = Ms2 = jnp.zeros((8, LANES), jnp.float32)
             for ph in range(NH):
                 sl = slice(ph * PB, (ph + 1) * PB)
                 px, py = px_all[sl], py_all[sl]
@@ -316,9 +406,14 @@ def _bwd2_kernel(
                 Sh, sGh = S[sl], sG[sl]
                 sWh, sWMh = sW[sl], sWM[sl]
 
-                sig, use3d, u, v, crz, dx, dy, hu, hv, m = _sigma_2dgs(
-                    e, px, py, L
-                )
+                if coef:
+                    sig, use3d, u, v, crz, dx, dy = _sigma_2dgs_coef(
+                        pxl_all[sl], pyl_all[sl], gxl, gyl, ar, br, crr
+                    )
+                else:
+                    sig, use3d, u, v, crz, dx, dy, hu, hv, m = _sigma_2dgs(
+                        e, px, py, L
+                    )
                 eneg = jnp.exp(-sig)
                 araw = op * eneg
                 alpha = jnp.minimum(araw, ALPHA_MAX)
@@ -370,50 +465,96 @@ def _bwd2_kernel(
                 row_ids = jax.lax.broadcasted_iota(jnp.int32, (Lp, LANES), 0)
                 v_feat = v_feat + jnp.where(row_ids == md, v_m_extra, 0.0)
 
-                v_gx = -jnp.sum(
-                    jnp.where(use3d, 0.0, 2.0 * dx * v_sig),
-                    axis=0, keepdims=True,
-                )
-                v_gy = -jnp.sum(
-                    jnp.where(use3d, 0.0, 2.0 * dy * v_sig),
-                    axis=0, keepdims=True,
-                )
                 v_u = jnp.where(use3d, u * v_sig, 0.0)
                 v_v = jnp.where(use3d, v * v_sig, 0.0)
                 v_cr0 = v_u / crz
                 v_cr1 = v_v / crz
                 v_cr2 = -(u * v_u + v * v_v) / crz
-                v_hu = [
-                    hv[1] * v_cr2 - hv[2] * v_cr1,
-                    hv[2] * v_cr0 - hv[0] * v_cr2,
-                    hv[0] * v_cr1 - hv[1] * v_cr0,
-                ]
-                v_hv = [
-                    v_cr1 * hu[2] - v_cr2 * hu[1],
-                    v_cr2 * hu[0] - v_cr0 * hu[2],
-                    v_cr0 * hu[1] - v_cr1 * hu[0],
-                ]
-                v_M = []
-                for c in range(3):
-                    v_M.append(-jnp.sum(v_hu[c], axis=0, keepdims=True))
-                for c in range(3):
-                    v_M.append(-jnp.sum(v_hv[c], axis=0, keepdims=True))
-                for c in range(3):
-                    v_M.append(
-                        jnp.sum(
-                            px * v_hu[c] + py * v_hv[c],
-                            axis=0, keepdims=True,
-                        )
+                if coef:
+                    # (pxl, pyl, 1) moments of v_cr_k and the 2D-branch
+                    # v_sig: ONE full-depth MXU contraction each replaces
+                    # the per-pixel v_hu/v_hv cross-VJP chains; the row
+                    # chains after the sub-block loop are linear in these
+                    v_s2 = jnp.where(use3d, 0.0, v_sig)
+                    Qh = jnp.concatenate(
+                        [pxl_all[sl], pyl_all[sl], ones_pb, zeros_pb], axis=1
+                    )  # [PB, 8]
+                    mom = lambda X: jax.lax.dot_general(
+                        Qh, X,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [8, LANES]
+                    Mcr0 = Mcr0 + mom(v_cr0)
+                    Mcr1 = Mcr1 + mom(v_cr1)
+                    Mcr2 = Mcr2 + mom(v_cr2)
+                    Ms2 = Ms2 + mom(v_s2)
+                    num = jnp.concatenate([v_op, v_feat], axis=0)
+                else:
+                    v_gx = -jnp.sum(
+                        jnp.where(use3d, 0.0, 2.0 * dx * v_sig),
+                        axis=0, keepdims=True,
                     )
-
-                num = jnp.concatenate(
-                    [v_gx, v_gy] + v_M + [v_op, v_feat], axis=0
-                )
+                    v_gy = -jnp.sum(
+                        jnp.where(use3d, 0.0, 2.0 * dy * v_sig),
+                        axis=0, keepdims=True,
+                    )
+                    v_hu = [
+                        hv[1] * v_cr2 - hv[2] * v_cr1,
+                        hv[2] * v_cr0 - hv[0] * v_cr2,
+                        hv[0] * v_cr1 - hv[1] * v_cr0,
+                    ]
+                    v_hv = [
+                        v_cr1 * hu[2] - v_cr2 * hu[1],
+                        v_cr2 * hu[0] - v_cr0 * hu[2],
+                        v_cr0 * hu[1] - v_cr1 * hu[0],
+                    ]
+                    v_M = []
+                    for c in range(3):
+                        v_M.append(-jnp.sum(v_hu[c], axis=0, keepdims=True))
+                    for c in range(3):
+                        v_M.append(-jnp.sum(v_hv[c], axis=0, keepdims=True))
+                    for c in range(3):
+                        v_M.append(
+                            jnp.sum(
+                                px * v_hu[c] + py * v_hv[c],
+                                axis=0, keepdims=True,
+                            )
+                        )
+                    num = jnp.concatenate(
+                        [v_gx, v_gy] + v_M + [v_op, v_feat], axis=0
+                    )
                 num_acc = num if num_acc is None else num_acc + num
                 S_new.append(S_incl[:, 0:1])
                 sG_new.append(sGh + jnp.sum(d, axis=1, keepdims=True))
                 sW_new.append(sWh + jnp.sum(w, axis=1, keepdims=True))
                 sWM_new.append(sWMh + jnp.sum(wm, axis=1, keepdims=True))
+
+            if coef:
+                # row chains from the accumulated moments (all [1, LANES]).
+                # sum_p dx*v_s2 = mom_pxl - gxl*mom_1 (dx = pxl - gxl)
+                v_gx = -2.0 * (Ms2[0:1] - gxl * Ms2[2:3])
+                v_gy = -2.0 * (Ms2[1:2] - gyl * Ms2[2:3])
+                v_a = [Mcr0[2:3], Mcr1[2:3], Mcr2[2:3]]
+                v_b = [Mcr0[0:1], Mcr1[0:1], Mcr2[0:1]]
+                v_c = [Mcr0[1:2], Mcr1[1:2], Mcr2[1:2]]
+                # cross-product VJPs of a = huc x hvc, b = r2 x hvc,
+                # c = huc x r2 (for z = x x y: v_x = y x v_z, v_y = v_z x x)
+                add3 = lambda f, g: [f[i] + g[i] for i in range(3)]
+                v_huc = add3(_cross_rows(hvc, v_a), _cross_rows(r2, v_c))
+                v_hvc = add3(_cross_rows(v_a, huc), _cross_rows(v_b, r2))
+                v_r2 = add3(_cross_rows(hvc, v_b), _cross_rows(v_c, huc))
+                # huc[i] = x0 m[6+i] - m[i]; hvc[i] = y0 m[6+i] - m[3+i];
+                # r2[i] = m[6+i]
+                v_M = (
+                    [-v_huc[i] for i in range(3)]
+                    + [-v_hvc[i] for i in range(3)]
+                    + [
+                        x0 * v_huc[i] + y0 * v_hvc[i] + v_r2[i]
+                        for i in range(3)
+                    ]
+                )
+                num_acc = jnp.concatenate([v_gx, v_gy] + v_M + [num_acc], axis=0)
 
             rows = [
                 jnp.where(colmask, gid, jnp.int32(1 << 24)).astype(jnp.float32),
@@ -455,7 +596,7 @@ def _bwd2_kernel(
 
 
 def _fwd2_call(cfg, entries, offs, cnts):
-    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret, coef) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -482,7 +623,7 @@ def _fwd2_call(cfg, entries, offs, cnts):
     )
     kernel = functools.partial(
         _fwd2_kernel, K=KF, P=P, L=L, Lp=Lp, md=md, ts=ts, tw=tw, th=th,
-        native=not interpret, skip=True,
+        native=not interpret, skip=True, coef=coef,
     )
     return pl.pallas_call(
         kernel,
@@ -503,7 +644,7 @@ def _bwd2_call(
     cfg, entries, offs, cnts, aoff, capA2, logT, last, wmtot,
     v_accum, v_logT, v_dist,
 ):
-    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret, coef) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -525,10 +666,14 @@ def _bwd2_call(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # on-device sweep hook: the bwd live set scales with PB x KB; the coef
+    # path drops ~12 [PB, LANES] arrays, so larger PB may fit at ts=32
+    PB = int(os.environ.get("GSPLAT_PB", "256"))
+    assert PB > 0 and P % min(P, PB) == 0, (P, PB)
     kernel = functools.partial(
-        _bwd2_kernel, K=KB, P=P, PB=min(P, 256), L=L, Lp=Lp, GR=GR, md=md,
+        _bwd2_kernel, K=KB, P=P, PB=min(P, PB), L=L, Lp=Lp, GR=GR, md=md,
         ts=ts, tw=tw,
-        th=th, native=not interpret,
+        th=th, native=not interpret, coef=coef,
     )
     vzero = jnp.concatenate(
         [
@@ -555,7 +700,7 @@ def _raster_2dgs_binned(cfg, packed, radii, depths):
 
 
 def _bin_from_packed(cfg, packed, radii, depths):
-    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret, coef) = cfg
     rows = [packed[r].reshape(C, N) for r in range(NFIX + L)]
     # NOTE: no AABB tightening here. Unlike the 3DGS conic, a surfel's
     # alpha >= 1/255 support extends FAR beyond the dual-conic 3-sigma
@@ -570,7 +715,7 @@ def _bin_from_packed(cfg, packed, radii, depths):
 
 
 def _raster_2dgs_binned_fwd(cfg, packed, radii, depths):
-    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret, coef) = cfg
     binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
     # stream layout: NFIX fixed rows, L features padded to Lp, zero filler,
     # gid as the last row (exact f32 < 2^24, for the backward's reduce)
@@ -595,7 +740,7 @@ def _raster_2dgs_binned_fwd(cfg, packed, radii, depths):
 
 
 def _raster_2dgs_binned_bwd(cfg, res, cts):
-    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret) = cfg
+    (C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md, interpret, coef) = cfg
     entries, offs, cnts, logT, last, wmtot = res
     v_accum, v_logT, v_dist, _v_med, _, _ = cts
     acnt = ((cnts + KB - 1) // KB + 1) * KB
@@ -660,11 +805,20 @@ def rasterize_to_pixels_2dgs_binned(
     backgrounds: Optional[jax.Array] = None,  # [C, D]
     batch_size: int = 2 * LANES,
     bwd_batch_size: Optional[int] = None,
+    coef_sigma: Optional[bool] = None,
 ):
     """Binned-pipeline 2DGS rasterizer. Returns (render_colors, alphas,
     render_normals, render_distort, render_median, aux) with
     aux = {"n_isects", "slab_required"} for the capacity loop. Semantics
-    identical to rasterize_to_pixels_2dgs_ref / _tiled."""
+    identical to rasterize_to_pixels_2dgs_ref / _tiled.
+
+    ``coef_sigma`` evaluates sigma through the affine coefficient form of
+    the cross products and the backward through MXU moment contractions
+    (see the module-level note above `_coef_rows`); env
+    ``GSPLAT_2DGS_COEF=1`` flips the default. Off until the on-device A/B
+    shows a win — outputs match the exact path to f32 reassociation."""
+    if coef_sigma is None:
+        coef_sigma = os.environ.get("GSPLAT_2DGS_COEF", "0") == "1"
     if isinstance(means2d, (tuple, list)):
         mean_x, mean_y = means2d
     else:
@@ -707,7 +861,7 @@ def rasterize_to_pixels_2dgs_binned(
     capA = _round_up(max(capacity, 512), 512)
     cfg = (
         C, N, T, th, tw, ts, P, D, L, Lp, F, KF, KB, capA, GR, md,
-        _interpret(),
+        _interpret(), coef_sigma,
     )
     accum, logT, dist, med, n_isects, slab_required = _raster_2dgs_binned(
         cfg, packed, radii, depths

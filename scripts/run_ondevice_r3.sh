@@ -35,6 +35,9 @@ stage bench_official  python bench.py
 stage bench_kf256     env GSPLAT_KF=256 python scripts/check_binned_tpu.py bench
 stage bench_kf128     env GSPLAT_KF=128 python scripts/check_binned_tpu.py bench
 stage ts32_2dgs       env TS=32 python scripts/check_2dgs_binned_tpu.py parity bench
+stage coef2d          env GSPLAT_2DGS_COEF=1 python scripts/check_2dgs_binned_tpu.py parity bench
+stage coef2d_ts32     env GSPLAT_2DGS_COEF=1 TS=32 python scripts/check_2dgs_binned_tpu.py parity bench
+stage coef2d_ts32_pb  env GSPLAT_2DGS_COEF=1 TS=32 GSPLAT_PB=512 python scripts/check_2dgs_binned_tpu.py parity bench
 stage profile         python scripts/profile_binned.py
 
 echo "$(date) QUEUE DONE" | tee -a "$LOGDIR/queue.log"

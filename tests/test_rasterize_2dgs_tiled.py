@@ -175,6 +175,76 @@ def test_2dgs_binned_matches_oracle(rng, ts):
         )
 
 
+def test_2dgs_binned_coef_matches_exact(rng):
+    """Coefficient-form sigma (GSPLAT_2DGS_COEF) vs the exact binned path.
+
+    The affine cross-product form and the backward's MXU moment
+    contractions reassociate f32 math (tile-center anchoring bounds the
+    cancellation; see the note above _coef_rows), so outputs agree to
+    ~1e-4 and grads to ~1e-3 relative rather than bitwise."""
+    from gsplat_tpu.ops.projection_2dgs import fully_fused_projection_2dgs
+    from gsplat_tpu.ops.rasterize_2dgs_binned import (
+        rasterize_to_pixels_2dgs_binned,
+    )
+
+    N, C, W, H, ts = 300, 2, 64, 48, 16
+    means = rng.standard_normal((N, 3)).astype(np.float32)
+    quats = rng.standard_normal((N, 4)).astype(np.float32)
+    scales = (rng.random((N, 3)) * 0.3 + 0.05).astype(np.float32)
+    opac = rng.random((N,)).astype(np.float32)
+    colors = rng.random((C, N, 3)).astype(np.float32)
+    vm = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    vm[:, 2, 3] = 4.0
+    vm[1, 0, 3] = 0.3
+    Ks = np.tile(
+        np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32),
+        (C, 1, 1),
+    )
+    radii, means2d, depths, ray_Ms, normals = fully_fused_projection_2dgs(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(vm), jnp.asarray(Ks), W, H,
+    )
+    opc = jnp.broadcast_to(jnp.asarray(opac)[None], (C, N))
+    depth_col = jnp.concatenate(
+        [jnp.asarray(colors), depths[..., None]], axis=-1
+    )
+    bg = jnp.asarray(rng.random((C, 4)).astype(np.float32))
+
+    common = (means2d, ray_Ms, depth_col, normals, opc, radii, depths, W, H, ts)
+    o0 = rasterize_to_pixels_2dgs_binned(
+        *common, capacity=16384, backgrounds=bg, coef_sigma=False
+    )
+    o1 = rasterize_to_pixels_2dgs_binned(
+        *common, capacity=16384, backgrounds=bg, coef_sigma=True
+    )
+    for i, nm in enumerate(("colors", "alphas", "normals", "distort", "median")):
+        d = np.abs(np.asarray(o1[i]) - np.asarray(o0[i]))
+        # median is a selection output: a borderline T>0.5 flip swaps depths
+        assert (d > 2e-4).mean() < 1e-3, f"{nm} flips {(d > 2e-4).mean():.2%}"
+        if nm != "median":
+            assert d.max() < 2e-3, f"{nm} max {d.max():.2e}"
+
+    def loss(coef, M, col, op):
+        o = rasterize_to_pixels_2dgs_binned(
+            means2d, M, col, normals, op, radii, depths, W, H, ts,
+            capacity=16384, coef_sigma=coef,
+        )
+        return sum(jnp.sum(x) for x in o[:4])
+
+    g0 = jax.grad(lambda M, c, o: loss(False, M, c, o), argnums=(0, 1, 2))(
+        ray_Ms, depth_col, opc
+    )
+    g1 = jax.grad(lambda M, c, o: loss(True, M, c, o), argnums=(0, 1, 2))(
+        ray_Ms, depth_col, opc
+    )
+    for nm, a, b in zip(("ray_Ms", "colors", "opac"), g1, g0):
+        s = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3 * s, rtol=2e-3,
+            err_msg=f"grad {nm}",
+        )
+
+
 def test_2dgs_binned_via_rasterization(rng):
     """rasterization_2dgs(backend='binned') end-to-end with carrier grads."""
     from gsplat_tpu.rendering import rasterization_2dgs

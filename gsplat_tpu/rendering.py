@@ -5,8 +5,11 @@ Differences from the reference, by TPU-native design:
     shapes. The intersection list uses a static ``isect_capacity`` (see
     ops/isect.py); ``meta["n_isects"]`` reports the true count so callers can
     grow the capacity between steps.
-  - No "packed"/"sparse_grad" modes: XLA gets the same memory win from masked
-    dense [C, N] layouts without dynamic-shape COO tensors.
+  - "packed"/"sparse_grad" kwargs are accepted for API compatibility but
+    inert single-device: XLA gets the same memory win from masked dense
+    [C, N] layouts without dynamic-shape COO tensors. Distributed, packed=True
+    IS meaningful: it restricts the all-to-all to visible payloads
+    (distributed.py::rasterization_distributed_packed).
   - Gradients w.r.t. the projected 2D means (used by densification) are
     captured functionally: pass ``means2d_carrier`` (zeros [C, N, 2]) and
     differentiate w.r.t. it, replacing torch's ``retain_grad`` on an
@@ -63,6 +66,12 @@ def rasterization(
     means2d_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros
     masks: Optional[jax.Array] = None,  # [N] bool, False = skip (dead pool slot)
     absgrad: bool = False,
+    packed: bool = False,
+    sparse_grad: bool = False,
+    distributed: bool = False,
+    mesh=None,  # jax.sharding.Mesh, required when distributed=True
+    dist_axis: str = "gauss",
+    pack_capacity: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Rasterize N 3D Gaussians to C image planes.
 
@@ -74,7 +83,61 @@ def rasterization(
     tile** inside the backward (gsplat/triton_impl/rasterize_to_pixels_bwd.py:
     282-292, wrapper attach :156-157) — instead of the plain summed gradient.
     The rendered output is unchanged.
+
+    ``distributed=True`` (parity: gsplat/rendering.py:300-310 which reads
+    torch.distributed's ambient world) dispatches to the shard_map exchange:
+    Gaussian-sharded projection, camera-sharded rasterization over ``mesh``
+    (a `jax.sharding.Mesh`, the explicit JAX analogue of the ambient process
+    group). ``packed=True`` additionally restricts the all-to-all to
+    frustum-visible payloads (the reference's packed exchange,
+    gsplat/rendering.py:416-459) — fixed ``pack_capacity`` buffer with a
+    ``meta["pack_required"]`` growth signal.
+
+    ``packed``/``sparse_grad`` on the single-device path are accepted for
+    API compatibility and inert: the reference's COO modes save memory under
+    dynamic shapes; XLA needs static shapes, and the masked dense [C, N] SoA
+    layout plus the emit-stage cull achieve the same effect (dead entries
+    never reach the kernels). Gradients under XLA are dense by construction.
     """
+    if distributed:
+        assert mesh is not None, (
+            "rasterization(distributed=True) needs an explicit device mesh: "
+            "pass mesh=jax.sharding.Mesh(...) (JAX has no ambient process "
+            "group; this replaces torch.distributed's implicit world)"
+        )
+        assert covars is None, "covars unsupported on the distributed path"
+        from .distributed import (
+            rasterization_distributed,
+            rasterization_distributed_packed,
+        )
+
+        common = dict(
+            sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip, eps2d=eps2d, tile_size=tile_size,
+            backgrounds=backgrounds, render_mode=render_mode,
+            rasterize_mode=rasterize_mode, backend=backend,
+            isect_capacity=isect_capacity, masks=masks,
+            means2d_carrier=means2d_carrier, absgrad=absgrad,
+            camera_model=camera_model, axis=dist_axis,
+        )
+        if packed:
+            assert pack_capacity is not None, (
+                "packed distributed mode needs pack_capacity (static visible-"
+                "payload budget; grow it via meta['pack_required'])"
+            )
+            assert not (colors.ndim == 3 and sh_degree is None), (
+                "per-camera colors unsupported in the packed exchange"
+            )
+            return rasterization_distributed_packed(
+                means, quats, scales, opacities, colors, viewmats, Ks,
+                width, height, mesh, pack_capacity, **common,
+            )
+        per_cam = colors.ndim == 3 and sh_degree is None
+        return rasterization_distributed(
+            means, quats, scales, opacities, colors, viewmats, Ks,
+            width, height, mesh, per_camera_colors=per_cam, **common,
+        )
+
     N = means.shape[0]
     C = viewmats.shape[0]
     assert render_mode in RENDER_MODES, render_mode
@@ -303,6 +366,11 @@ def rasterization_2dgs(
     isect_capacity: Optional[int] = None,
     densify_carrier: Optional[jax.Array] = None,  # [C, N, 2] zeros
     masks: Optional[jax.Array] = None,  # [N] bool
+    packed: bool = False,
+    sparse_grad: bool = False,
+    distributed: bool = False,
+    mesh=None,  # jax.sharding.Mesh, required when distributed=True
+    dist_axis: str = "gauss",
 ):
     """Rasterize 2D (surfel) Gaussians (parity: gsplat/rendering.py:1018-1340).
 
@@ -313,7 +381,30 @@ def rasterization_2dgs(
     (gsplat/rendering.py:1206-1208): differentiate w.r.t. it to obtain the
     screen-space gradients the densification strategies consume
     (key_for_gradient="gradient_2dgs").
+
+    ``packed``/``sparse_grad`` are accepted for reference API compatibility
+    (gsplat/rendering.py:1030-1031) and inert — see ``rasterization``.
+    ``distributed=True`` dispatches to the shard_map exchange over ``mesh``
+    (distributed.py::rasterization_2dgs_distributed), same 7-tuple return.
     """
+    if distributed:
+        assert mesh is not None, (
+            "rasterization_2dgs(distributed=True) needs "
+            "mesh=jax.sharding.Mesh(...)"
+        )
+        from .distributed import rasterization_2dgs_distributed
+
+        per_cam = colors.ndim == 3 and sh_degree is None
+        return rasterization_2dgs_distributed(
+            means, quats, scales, opacities, colors, viewmats, Ks,
+            width, height, mesh, axis=dist_axis, sh_degree=sh_degree,
+            near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip, tile_size=tile_size,
+            backgrounds=backgrounds, render_mode=render_mode,
+            distloss=distloss, depth_mode=depth_mode, backend=backend,
+            isect_capacity=isect_capacity, masks=masks,
+            densify_carrier=densify_carrier, per_camera_colors=per_cam,
+        )
     from .ops.projection_2dgs import fully_fused_projection_2dgs
     from .ops.rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
     from .utils import depth_to_normal

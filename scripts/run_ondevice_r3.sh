@@ -38,6 +38,11 @@ stage ts32_2dgs       env TS=32 python scripts/check_2dgs_binned_tpu.py parity b
 stage coef2d          env GSPLAT_2DGS_COEF=1 python scripts/check_2dgs_binned_tpu.py parity bench
 stage coef2d_ts32     env GSPLAT_2DGS_COEF=1 TS=32 python scripts/check_2dgs_binned_tpu.py parity bench
 stage coef2d_ts32_pb  env GSPLAT_2DGS_COEF=1 TS=32 GSPLAT_PB=512 python scripts/check_2dgs_binned_tpu.py parity bench
+# ts=48 exceeded VMEM with the exact sigma (23.5M scoped, PERF.md); the
+# MXU-sigma variant drops enough [P,K] live arrays that it may now fit —
+# a failed stage here is expected-possible and non-fatal
+stage ts48_mxu        env GSPLAT_SIGMA_MXU=1 TS=48 python scripts/check_binned_tpu.py parity bench
+stage ts48_mxu_kb64   env GSPLAT_SIGMA_MXU=1 TS=48 GSPLAT_KB=64 python scripts/check_binned_tpu.py bench
 stage profile         python scripts/profile_binned.py
 
 echo "$(date) QUEUE DONE" | tee -a "$LOGDIR/queue.log"

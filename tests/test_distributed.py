@@ -460,3 +460,75 @@ def test_distributed_depth_mode_with_backgrounds(rng, mesh):
         )(*sharded)
         np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5, err_msg=mode)
         np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5, err_msg=mode)
+
+
+def test_rasterization_distributed_kwarg_dispatch(rng, mesh):
+    """The reference-parity surface: rasterization(distributed=True, mesh=...)
+    and packed=True route to the shard_map exchanges (gsplat/rendering.py:
+    300-310, 416-459) and match the single-device render; the inert
+    single-device packed/sparse_grad kwargs are accepted."""
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(rng)
+    args = tuple(
+        jnp.asarray(x) for x in (means, quats, scales, opac, colors)
+    )
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    bg = jnp.asarray(rng.random((viewmats.shape[0], 3)).astype(np.float32))
+
+    r0, a0, _ = rasterization(
+        *args, vm, K, W, H, backgrounds=bg, packed=True, sparse_grad=True
+    )
+
+    shardings = [NamedSharding(mesh, P("gauss"))] * 5
+    sharded = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
+    r1, a1, m1 = jax.jit(
+        lambda *a: rasterization(
+            *a, vm, K, W, H, backgrounds=bg, distributed=True, mesh=mesh
+        )
+    )(*sharded)
+    np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5)
+
+    r2, a2, m2 = jax.jit(
+        lambda *a: rasterization(
+            *a, vm, K, W, H, backgrounds=bg, distributed=True, mesh=mesh,
+            packed=True, pack_capacity=means.shape[0],
+        )
+    )(*sharded)
+    np.testing.assert_allclose(r0, r2, atol=2e-5, rtol=1e-5)
+    assert "pack_required" in m2
+
+
+def test_rasterization_2dgs_distributed_kwarg_dispatch(rng, mesh):
+    """rasterization_2dgs(distributed=True, mesh=...) returns the same
+    7-tuple as the single-device call."""
+    from gsplat_tpu.rendering import rasterization_2dgs
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=128, C=8, W=32, H=24
+    )
+    args = tuple(
+        jnp.asarray(x) for x in (means, quats, scales, opac, colors)
+    )
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+
+    out0 = rasterization_2dgs(
+        *args, vm, K, W, H, packed=True, sparse_grad=True
+    )
+    shardings = [NamedSharding(mesh, P("gauss"))] * 5
+    sharded = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
+    out1 = jax.jit(
+        lambda *a: rasterization_2dgs(
+            *a, vm, K, W, H, distributed=True, mesh=mesh
+        )[:6]
+    )(*sharded)
+    for i, nm in enumerate(
+        ("colors", "alphas", "normals", "normals_from_depth", "distort",
+         "median")
+    ):
+        if out0[i] is None:  # normals_from_depth needs a depth render mode
+            assert out1[i] is None, nm
+            continue
+        np.testing.assert_allclose(
+            np.asarray(out1[i]), np.asarray(out0[i]),
+            atol=5e-5, rtol=1e-4, err_msg=nm,
+        )

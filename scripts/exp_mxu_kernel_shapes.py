@@ -55,8 +55,13 @@ def _kernel(x_ref, out_ref, *, variant, P, K, NB, native):
 
     def body(b, acc):
         eb = x_ref[...]  # [16, K] resident VMEM block
+        # Loop-carried dependency so Mosaic can't hoist/DCE the batch work.
+        # [1, LANES] row broadcast only over sublanes (a both-axes scalar
+        # broadcast from acc[0:1, 0:1] fails to lower on Mosaic); 1e-20
+        # keeps the math finite for the exp/scan variants.
+        dep = acc[0:1, :] * 1e-20
         for s in range(NS):
-            e = eb[:, s * LANES : (s + 1) * LANES] + acc[0:1, 0:1]
+            e = eb[:, s * LANES : (s + 1) * LANES] + dep
             gx, gy = e[0:1, :], e[1:2, :]
             ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
             if variant == "vpu_sigma":

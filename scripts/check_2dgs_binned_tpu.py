@@ -35,7 +35,9 @@ def parity():
         rasterize_to_pixels_2dgs_binned)
     from gsplat_tpu.ops.rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
 
-    W, H, ts = 64, 48, 16
+    W, H, ts = 64, 48, int(os.environ.get("TS", 16))
+    if ts > 16:
+        W, H = 2 * ts, int(1.5 * ts)  # keep the scene a couple tiles wide
     means, quats, scales, opac, colors, vm, Ks = _scene(W=W, H=H)
     C, N = colors.shape[:2]
     radii, means2d, depths, ray_Ms, normals = fully_fused_projection_2dgs(

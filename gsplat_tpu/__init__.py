@@ -23,7 +23,10 @@ from .ops import (
 )
 from .ops.isect import isect_offset_encode
 from .ops.projection import fully_fused_projection_soa, proj, world_to_cam
-from .ops.projection_2dgs import fully_fused_projection_2dgs
+from .ops.projection_2dgs import (
+    fully_fused_projection_2dgs,
+    fully_fused_projection_2dgs_packed,
+)
 
 # drop-in alias: the reference exports this op under a misspelled name
 # (gsplat/__init__.py "full_fused_projection_2dgs"); keep both so code
@@ -58,6 +61,7 @@ __all__ = [
     "rasterize_to_pixels_2dgs_ref",
     "fully_fused_projection",
     "fully_fused_projection_packed",
+    "fully_fused_projection_2dgs_packed",
     "isect_tiles",
     "quat_scale_to_covar_preci",
     "rasterize_to_pixels",

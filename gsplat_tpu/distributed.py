@@ -541,6 +541,110 @@ def rasterization_distributed_packed(
     return render, alphas, meta
 
 
+def _postprocess_2dgs(
+    render_colors, render_alphas, render_normals, render_distort,
+    render_median, viewmats, Ks, render_mode, depth_mode, distloss,
+):
+    """Post-processing on the gathered (camera-sharded) 2DGS outputs,
+    identical to rasterization_2dgs — elementwise, so XLA keeps the
+    sharding. Returns (render_colors, render_normals [world frame],
+    normals_from_depth, render_distort)."""
+    if render_mode in ("ED", "RGB+ED"):
+        render_colors = jnp.concatenate(
+            [
+                render_colors[..., :-1],
+                render_colors[..., -1:]
+                / jnp.clip(render_alphas, 1e-10, None),
+            ],
+            axis=-1,
+        )
+
+    from .utils import depth_to_normal
+
+    normals_from_depth = None
+    if render_mode in ("RGB+D", "RGB+ED"):
+        if depth_mode == "expected":
+            depth_for_normal = render_colors[..., -1:]
+        elif depth_mode == "median":
+            depth_for_normal = render_median
+        else:
+            raise ValueError(f"Unknown depth_mode: {depth_mode}")
+        camtoworlds = jnp.linalg.inv(viewmats)
+        normals_from_depth = depth_to_normal(depth_for_normal, camtoworlds, Ks)
+
+    if not distloss:
+        render_distort = jnp.zeros_like(jax.lax.stop_gradient(render_distort))
+
+    R_wc = jnp.swapaxes(viewmats[:, :3, :3], -1, -2)
+    render_normals = jnp.einsum("cij,chwj->chwi", R_wc, render_normals)
+    return render_colors, render_normals, normals_from_depth, render_distort
+
+
+def _raster_rows_2dgs(
+    backend, mean_x, mean_y, depth, mrows, normals_g, radii_g, opac_g,
+    cols_g, width, height, tile_size, isect_capacity, bg,
+):
+    """Per-shard 2DGS rasterization over exchanged surfel SoA rows.
+
+    Returns (render, alphas, normals_img, distort, median, n_isects, slab)
+    — the latter two are capacity-growth scalars (zeros for oracle).
+    """
+    zero = jnp.zeros((), jnp.int32)
+    if backend == "binned":
+        from .ops.rasterize_2dgs_binned import rasterize_to_pixels_2dgs_binned
+
+        (
+            render, alphas, normals_img, distort, median, aux
+        ) = rasterize_to_pixels_2dgs_binned(
+            (mean_x, mean_y), mrows, cols_g, normals_g, opac_g,
+            radii_g, depth, width, height, tile_size,
+            capacity=isect_capacity, backgrounds=bg,
+        )
+        return (
+            render, alphas, normals_img, distort, median,
+            aux["n_isects"], aux["slab_required"],
+        )
+    if backend == "tiled":
+        from .ops.rasterize_2dgs_tiled import rasterize_to_pixels_2dgs_tiled
+
+        tile_width = math.ceil(width / tile_size)
+        tile_height = math.ceil(height / tile_size)
+        isect = isect_tiles(
+            (mean_x, mean_y), radii_g, depth, tile_size,
+            tile_width, tile_height, capacity=isect_capacity,
+        )
+        means2d = jnp.stack([mean_x, mean_y], axis=-1)
+        rt = jnp.stack(
+            [jnp.stack(mrows[r * 3 : r * 3 + 3], axis=-1) for r in range(3)],
+            axis=-2,
+        )
+        (
+            render, alphas, normals_img, distort, median
+        ) = rasterize_to_pixels_2dgs_tiled(
+            means2d, rt, cols_g, normals_g, opac_g,
+            width, height, tile_size, isect, bg,
+        )
+        return (
+            render, alphas, normals_img, distort, median,
+            isect.n_isects, isect.n_isects,
+        )
+    assert backend == "oracle", backend
+    from .ops.rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
+
+    means2d = jnp.stack([mean_x, mean_y], axis=-1)
+    rt = jnp.stack(
+        [jnp.stack(mrows[r * 3 : r * 3 + 3], axis=-1) for r in range(3)],
+        axis=-2,
+    )
+    (
+        render, alphas, normals_img, distort, median
+    ) = rasterize_to_pixels_2dgs_ref(
+        means2d, rt, cols_g, normals_g, opac_g, radii_g, depth,
+        width, height, tile_size, bg,
+    )
+    return render, alphas, normals_img, distort, median, zero, zero
+
+
 def rasterization_2dgs_distributed(
     means: jax.Array,  # [N, 3] sharded over `axis`
     quats: jax.Array,  # [N, 4]
@@ -676,54 +780,12 @@ def rasterization_2dgs_distributed(
         normals_g = jnp.stack(nrows, axis=-1)
 
         bg = _shard_backgrounds(backgrounds, axis, C, n_shards)
-        zero = jnp.zeros((), jnp.int32)
-        if backend == "binned":
-            from .ops.rasterize_2dgs_binned import rasterize_to_pixels_2dgs_binned
-
-            (
-                render, alphas, normals_img, distort, median, aux
-            ) = rasterize_to_pixels_2dgs_binned(
-                (mean_x, mean_y), mrows, cols_g, normals_g, opac_g,
-                radii_g, depth, width, height, tile_size,
-                capacity=isect_capacity, backgrounds=bg,
-            )
-            n_isects, slab = aux["n_isects"], aux["slab_required"]
-        elif backend == "tiled":
-            from .ops.rasterize_2dgs_tiled import rasterize_to_pixels_2dgs_tiled
-
-            tile_width = math.ceil(width / tile_size)
-            tile_height = math.ceil(height / tile_size)
-            isect = isect_tiles(
-                (mean_x, mean_y), radii_g, depth, tile_size,
-                tile_width, tile_height, capacity=isect_capacity,
-            )
-            means2d = jnp.stack([mean_x, mean_y], axis=-1)
-            rt = jnp.stack(
-                [jnp.stack(mrows[r * 3 : r * 3 + 3], axis=-1) for r in range(3)],
-                axis=-2,
-            )
-            (
-                render, alphas, normals_img, distort, median
-            ) = rasterize_to_pixels_2dgs_tiled(
-                means2d, rt, cols_g, normals_g, opac_g,
-                width, height, tile_size, isect, bg,
-            )
-            n_isects, slab = isect.n_isects, isect.n_isects
-        else:
-            from .ops.rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
-
-            means2d = jnp.stack([mean_x, mean_y], axis=-1)
-            rt = jnp.stack(
-                [jnp.stack(mrows[r * 3 : r * 3 + 3], axis=-1) for r in range(3)],
-                axis=-2,
-            )
-            (
-                render, alphas, normals_img, distort, median
-            ) = rasterize_to_pixels_2dgs_ref(
-                means2d, rt, cols_g, normals_g, opac_g, radii_g, depth,
-                width, height, tile_size, bg,
-            )
-            n_isects, slab = zero, zero
+        (
+            render, alphas, normals_img, distort, median, n_isects, slab
+        ) = _raster_rows_2dgs(
+            backend, mean_x, mean_y, depth, mrows, normals_g, radii_g,
+            opac_g, cols_g, width, height, tile_size, isect_capacity, bg,
+        )
         return (
             render, alphas, normals_img, distort, median,
             jax.lax.stop_gradient(radii), n_isects[None], slab[None],
@@ -740,36 +802,12 @@ def rasterization_2dgs_distributed(
         render_median, radii, n_isects, slab,
     ) = fn(*args)
 
-    # post-processing on the gathered (camera-sharded) outputs, identical
-    # to rasterization_2dgs — elementwise, so XLA keeps the sharding
-    if render_mode in ("ED", "RGB+ED"):
-        render_colors = jnp.concatenate(
-            [
-                render_colors[..., :-1],
-                render_colors[..., -1:]
-                / jnp.clip(render_alphas, 1e-10, None),
-            ],
-            axis=-1,
-        )
-
-    from .utils import depth_to_normal
-
-    normals_from_depth = None
-    if render_mode in ("RGB+D", "RGB+ED"):
-        if depth_mode == "expected":
-            depth_for_normal = render_colors[..., -1:]
-        elif depth_mode == "median":
-            depth_for_normal = render_median
-        else:
-            raise ValueError(f"Unknown depth_mode: {depth_mode}")
-        camtoworlds = jnp.linalg.inv(viewmats)
-        normals_from_depth = depth_to_normal(depth_for_normal, camtoworlds, Ks)
-
-    if not distloss:
-        render_distort = jnp.zeros_like(jax.lax.stop_gradient(render_distort))
-
-    R_wc = jnp.swapaxes(viewmats[:, :3, :3], -1, -2)
-    render_normals = jnp.einsum("cij,chwj->chwi", R_wc, render_normals)
+    (
+        render_colors, render_normals, normals_from_depth, render_distort
+    ) = _postprocess_2dgs(
+        render_colors, render_alphas, render_normals, render_distort,
+        render_median, viewmats, Ks, render_mode, depth_mode, distloss,
+    )
 
     meta = {
         "width": width,
@@ -778,6 +816,209 @@ def rasterization_2dgs_distributed(
         "radii": radii,
         "n_isects": n_isects,
         "slab_required": jnp.max(slab),
+    }
+    return (
+        render_colors,
+        render_alphas,
+        render_normals,
+        normals_from_depth,
+        render_distort,
+        render_median,
+        meta,
+    )
+
+
+def rasterization_2dgs_distributed_packed(
+    means: jax.Array,  # [N, 3] sharded over `axis`
+    quats: jax.Array,  # [N, 4]
+    scales: jax.Array,  # [N, 3]
+    opacities: jax.Array,  # [N]
+    colors: jax.Array,  # [N, D] or [N, K, 3] (per-Gaussian only)
+    viewmats: jax.Array,  # [C, 4, 4] replicated
+    Ks: jax.Array,  # [C, 3, 3] replicated
+    width: int,
+    height: int,
+    mesh: Mesh,
+    pack_capacity: int,
+    axis: str = "gauss",
+    sh_degree: Optional[int] = None,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    tile_size: int = 16,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+    render_mode: str = "RGB",
+    distloss: bool = False,
+    depth_mode: str = "expected",
+    backend: str = "auto",
+    isect_capacity: Optional[int] = None,
+    masks: Optional[jax.Array] = None,  # [N] bool
+    densify_carrier: Optional[jax.Array] = None,  # [C, N, 2], N-sharded
+):
+    """Packed (fixed-capacity) distributed 2DGS rasterization.
+
+    The surfel counterpart of :func:`rasterization_distributed_packed`,
+    completing the reference's backend-agnostic packed protocol for 2DGS
+    (gsplat/rendering.py:416-459 with csrc/Projection2DGSPacked.cu as the
+    producer): each owner shard compacts the frustum-visible surfels per
+    camera (radii > 0) to the front of a fixed ``pack_capacity`` buffer
+    with one stable per-camera ``lax.sort`` carrying the full surfel
+    payload (2D mean, depth, the 3x3 ray transform, normal, opacity,
+    colors), and only that buffer crosses the ICI. Overflow is truncated
+    and reported via ``meta["pack_required"]`` (max owner-side visible
+    count) for the out-of-jit capacity-growth loop.
+
+    Returns the same 7-tuple as :func:`rasterization_2dgs_distributed`,
+    image outputs camera-sharded over ``axis``.
+    """
+    from .ops.projection_2dgs import fully_fused_projection_2dgs_soa
+
+    n_shards = mesh.shape[axis]
+    C = viewmats.shape[0]
+    assert C % n_shards == 0, (
+        f"#cameras ({C}) must be divisible by mesh axis '{axis}' ({n_shards})"
+    )
+    if backend == "auto":
+        backend = "binned" if isect_capacity is not None else "oracle"
+    backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
+
+    if sh_degree is not None:
+        color_spec = P(axis, None, None)
+    else:
+        color_spec = P(axis, None)
+    extra_specs = ()
+    if masks is not None:
+        extra_specs = extra_specs + (P(axis),)
+    if densify_carrier is not None:
+        extra_specs = extra_specs + (P(None, axis, None),)
+
+    in_specs = (
+        P(axis, None), P(axis, None), P(axis, None), P(axis), color_spec,
+        P(), P(),
+    ) + extra_specs
+    out_specs = (
+        P(axis), P(axis), P(axis), P(axis), P(axis),
+        P(None, axis), P(axis), P(axis), P(axis),
+    )
+
+    def a2a(x):
+        return lax.all_to_all(x, axis, split_axis=0, concat_axis=1, tiled=True)
+
+    M_KEYS = [f"m{r}{c}" for r in range(3) for c in range(3)]
+
+    def _render(means, quats, scales, opacities, colors, viewmats, Ks, *rest):
+        rest = list(rest)
+        live = rest.pop(0) if masks is not None else None
+        carrier = rest.pop(0) if densify_carrier is not None else None
+        proj = fully_fused_projection_2dgs_soa(
+            means, quats, scales, viewmats, Ks, width, height,
+            near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip,
+        )
+        radii = proj["radii"]
+        if live is not None:
+            radii = jnp.where(live[None, :], radii, 0)
+        mean_x, mean_y = proj["mean_x"], proj["mean_y"]
+        if carrier is not None:
+            # densification grad carrier, applied by the owner shard
+            # pre-pack so its cotangent stays N-sharded
+            mean_x = mean_x + carrier[..., 0]
+            mean_y = mean_y + carrier[..., 1]
+        n_local = means.shape[0]
+
+        if sh_degree is None:
+            colors_cn = jnp.broadcast_to(
+                colors[None], (C, n_local, colors.shape[-1])
+            )
+        else:
+            camtoworlds = jnp.linalg.inv(viewmats)
+            dirs = means[None, :, :] - camtoworlds[:, None, :3, 3]
+            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
+            colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
+        if render_mode in ("RGB+D", "RGB+ED"):
+            colors_cn = jnp.concatenate(
+                [colors_cn, proj["depth"][..., None]], axis=-1
+            )
+        elif render_mode in ("D", "ED"):
+            colors_cn = proj["depth"][..., None]
+        D = colors_cn.shape[-1]
+
+        vis = radii > 0  # [C, n_local]
+        n_vis = jnp.sum(vis.astype(jnp.int32), axis=1)  # [C]
+        pack_required = jnp.max(n_vis)
+
+        key = (~vis).astype(jnp.int32)
+        opac_cn = jnp.broadcast_to(opacities[None, :], (C, n_local))
+        rows = [mean_x, mean_y, proj["depth"]]
+        rows += [proj[k] for k in M_KEYS]
+        rows += [proj[f"normal_{a}"] for a in ("x", "y", "z")]
+        rows += [radii.astype(jnp.float32), opac_cn]
+        rows += [colors_cn[..., d] for d in range(D)]
+        sorted_ops = jax.lax.sort(
+            (key,) + tuple(rows), num_keys=1, is_stable=True, dimension=1
+        )
+        cap = min(pack_capacity, n_local)
+        packed = [op[:, :cap] for op in sorted_ops[1:]]
+        mean_xp, mean_yp, depth_p = packed[0:3]
+        mrows_p = packed[3:12]
+        nrows_p = packed[12:15]
+        radf, opac_p = packed[15:17]
+        cols_p = jnp.stack(packed[17 : 17 + D], axis=-1)
+        slot_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (C, cap), 1) < n_vis[:, None]
+        )
+        radii_p = jnp.where(slot_ok, radf.astype(jnp.int32), 0)
+
+        # exchange only the packed surfel buffers
+        mean_xg = a2a(mean_xp)
+        mean_yg = a2a(mean_yp)
+        depth_g = a2a(depth_p)
+        mrows_g = tuple(a2a(r) for r in mrows_p)
+        normals_g = jnp.stack([a2a(r) for r in nrows_p], axis=-1)
+        radii_g = a2a(radii_p)
+        opac_g = a2a(opac_p)
+        cols_g = a2a(cols_p)
+
+        bg = _shard_backgrounds(backgrounds, axis, C, n_shards)
+        (
+            render, alphas, normals_img, distort, median, n_isects, slab
+        ) = _raster_rows_2dgs(
+            backend, mean_xg, mean_yg, depth_g, mrows_g, normals_g, radii_g,
+            opac_g, cols_g, width, height, tile_size, isect_capacity, bg,
+        )
+        return (
+            render, alphas, normals_img, distort, median,
+            jax.lax.stop_gradient(radii), n_isects[None], slab[None],
+            pack_required[None],
+        )
+
+    fn = shard_map(_render, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    args = (means, quats, scales, opacities, colors, viewmats, Ks)
+    if masks is not None:
+        args = args + (masks,)
+    if densify_carrier is not None:
+        args = args + (densify_carrier,)
+    (
+        render_colors, render_alphas, render_normals, render_distort,
+        render_median, radii, n_isects, slab, pack_required,
+    ) = fn(*args)
+
+    (
+        render_colors, render_normals, normals_from_depth, render_distort
+    ) = _postprocess_2dgs(
+        render_colors, render_alphas, render_normals, render_distort,
+        render_median, viewmats, Ks, render_mode, depth_mode, distloss,
+    )
+
+    meta = {
+        "width": width,
+        "height": height,
+        "n_cameras": C,
+        "radii": radii,
+        "n_isects": n_isects,
+        "slab_required": jnp.max(slab),
+        "pack_required": jnp.max(pack_required),
     }
     return (
         render_colors,

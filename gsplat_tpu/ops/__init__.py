@@ -10,6 +10,10 @@ from .projection import (
     quat_to_rotmat,
     world_to_cam,
 )
+from .projection_2dgs import (
+    fully_fused_projection_2dgs,
+    fully_fused_projection_2dgs_packed,
+)
 from .rasterize import rasterize_to_pixels, rasterize_to_pixels_2dgs
 from .rasterize_ref import rasterize_to_pixels_ref
 from .sh import eval_sh_bases, spherical_harmonics
@@ -22,6 +26,8 @@ __all__ = [
     "suggest_capacity",
     "fully_fused_projection",
     "fully_fused_projection_packed",
+    "fully_fused_projection_2dgs",
+    "fully_fused_projection_2dgs_packed",
     "quat_scale_to_covar_preci",
     "quat_to_rotmat",
     "world_to_cam",

@@ -121,6 +121,78 @@ def fully_fused_projection_2dgs_soa(
     return out
 
 
+def fully_fused_projection_2dgs_packed(
+    means: jax.Array,  # [N, 3]
+    quats: jax.Array,  # [N, 4]
+    scales: jax.Array,  # [N, 3]
+    viewmats: jax.Array,  # [C, 4, 4]
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    capacity: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+) -> Tuple[
+    jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array,
+    jax.Array, jax.Array,
+]:
+    """Packed (COO) fused 2DGS projection with a static capacity.
+
+    TPU-native analogue of the reference's ``packed=True`` surfel mode
+    (gsplat/cuda/_wrapper.py:1306-1318, csrc/Projection2DGSPacked.cu):
+    the reference compacts valid (camera, gaussian) pairs with a two-pass
+    nnz scan into dynamically-shaped [nnz] tensors. Dynamic shapes don't
+    exist under XLA, so valid pairs are compacted to the front of a fixed
+    ``capacity`` buffer with one stable multi-operand ``lax.sort`` on the
+    validity key — the same compaction as the 3DGS
+    :func:`~gsplat_tpu.ops.projection.fully_fused_projection_packed`,
+    carrying the surfel payload rows (ray-transform M, normals) instead of
+    conics. Ordering is camera-major, Gaussian-minor, matching the
+    reference's COO layout.
+
+    Returns ``(camera_ids [cap] i32, gaussian_ids [cap] i32,
+    radii [cap] i32, means2d [cap, 2], depths [cap],
+    ray_transforms [cap, 3, 3], normals [cap, 3], nnz [] i32)``.
+    Slots past ``nnz`` are padding with ``radii == 0`` and ids ``-1``; if
+    ``nnz > capacity`` the highest-flat-index valid entries are dropped —
+    re-run with a larger capacity (the same out-of-jit growth loop as
+    ``isect_capacity``). Float outputs are differentiable w.r.t.
+    means/quats/scales/viewmats (the sort-permutation transpose is the
+    inverse permutation; no ``sparse_grad`` — JAX cotangents are dense).
+    """
+    soa = fully_fused_projection_2dgs_soa(
+        means, quats, scales, viewmats, Ks, width, height,
+        near_plane=near_plane, far_plane=far_plane, radius_clip=radius_clip,
+    )
+    C, N = soa["radii"].shape
+    flat = lambda x: x.reshape(C * N)  # noqa: E731
+    valid = flat(soa["radii"] > 0)
+    key = (~valid).astype(jnp.int32)
+    cam_ids = flat(jax.lax.broadcasted_iota(jnp.int32, (C, N), 0))
+    gau_ids = flat(jax.lax.broadcasted_iota(jnp.int32, (C, N), 1))
+    M_KEYS = [f"m{k}{i}" for k in range(3) for i in range(3)]
+    rows = [flat(soa["mean_x"]), flat(soa["mean_y"]), flat(soa["depth"])]
+    rows += [flat(soa[k]) for k in M_KEYS]
+    rows += [flat(soa[f"normal_{a}"]) for a in ("x", "y", "z")]
+    sorted_ops = jax.lax.sort(
+        (key, cam_ids, gau_ids, flat(soa["radii"])) + tuple(rows),
+        num_keys=1, is_stable=True, dimension=0,
+    )
+    cap = min(capacity, C * N)
+    nnz = jnp.sum(valid.astype(jnp.int32))
+    slot_ok = jnp.arange(cap, dtype=jnp.int32) < nnz
+    cam_p = jnp.where(slot_ok, sorted_ops[1][:cap], -1)
+    gau_p = jnp.where(slot_ok, sorted_ops[2][:cap], -1)
+    radii_p = jnp.where(slot_ok, sorted_ops[3][:cap], 0)
+    payload = [op[:cap] for op in sorted_ops[4:]]
+    means2d = jnp.stack(payload[0:2], axis=-1)
+    depths = payload[2]
+    ray_transforms = jnp.stack(payload[3:12], axis=-1).reshape(cap, 3, 3)
+    normals = jnp.stack(payload[12:15], axis=-1)
+    return cam_p, gau_p, radii_p, means2d, depths, ray_transforms, normals, nnz
+
+
 def fully_fused_projection_2dgs(
     means: jax.Array,
     quats: jax.Array,

@@ -371,6 +371,7 @@ def rasterization_2dgs(
     distributed: bool = False,
     mesh=None,  # jax.sharding.Mesh, required when distributed=True
     dist_axis: str = "gauss",
+    pack_capacity: Optional[int] = None,
 ):
     """Rasterize 2D (surfel) Gaussians (parity: gsplat/rendering.py:1018-1340).
 
@@ -382,28 +383,50 @@ def rasterization_2dgs(
     screen-space gradients the densification strategies consume
     (key_for_gradient="gradient_2dgs").
 
-    ``packed``/``sparse_grad`` are accepted for reference API compatibility
-    (gsplat/rendering.py:1030-1031) and inert — see ``rasterization``.
-    ``distributed=True`` dispatches to the shard_map exchange over ``mesh``
-    (distributed.py::rasterization_2dgs_distributed), same 7-tuple return.
+    ``packed``/``sparse_grad`` on the single-device path are accepted for
+    reference API compatibility (gsplat/rendering.py:1030-1031) and inert —
+    see ``rasterization``. ``distributed=True`` dispatches to the shard_map
+    exchange over ``mesh`` (distributed.py::rasterization_2dgs_distributed),
+    same 7-tuple return; ``packed=True`` there restricts the all-to-all to
+    frustum-visible surfel payloads (the reference's packed exchange,
+    gsplat/rendering.py:416-459 + csrc/Projection2DGSPacked.cu) — fixed
+    ``pack_capacity`` buffer with a ``meta["pack_required"]`` growth signal.
     """
     if distributed:
         assert mesh is not None, (
             "rasterization_2dgs(distributed=True) needs "
             "mesh=jax.sharding.Mesh(...)"
         )
-        from .distributed import rasterization_2dgs_distributed
+        from .distributed import (
+            rasterization_2dgs_distributed,
+            rasterization_2dgs_distributed_packed,
+        )
 
-        per_cam = colors.ndim == 3 and sh_degree is None
-        return rasterization_2dgs_distributed(
-            means, quats, scales, opacities, colors, viewmats, Ks,
-            width, height, mesh, axis=dist_axis, sh_degree=sh_degree,
+        common = dict(
+            axis=dist_axis, sh_degree=sh_degree,
             near_plane=near_plane, far_plane=far_plane,
             radius_clip=radius_clip, tile_size=tile_size,
             backgrounds=backgrounds, render_mode=render_mode,
             distloss=distloss, depth_mode=depth_mode, backend=backend,
             isect_capacity=isect_capacity, masks=masks,
-            densify_carrier=densify_carrier, per_camera_colors=per_cam,
+            densify_carrier=densify_carrier,
+        )
+        if packed:
+            assert pack_capacity is not None, (
+                "packed distributed mode needs pack_capacity (static visible-"
+                "payload budget; grow it via meta['pack_required'])"
+            )
+            assert not (colors.ndim == 3 and sh_degree is None), (
+                "per-camera colors unsupported in the packed exchange"
+            )
+            return rasterization_2dgs_distributed_packed(
+                means, quats, scales, opacities, colors, viewmats, Ks,
+                width, height, mesh, pack_capacity, **common,
+            )
+        per_cam = colors.ndim == 3 and sh_degree is None
+        return rasterization_2dgs_distributed(
+            means, quats, scales, opacities, colors, viewmats, Ks,
+            width, height, mesh, per_camera_colors=per_cam, **common,
         )
     from .ops.projection_2dgs import fully_fused_projection_2dgs
     from .ops.rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref

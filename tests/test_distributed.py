@@ -532,3 +532,129 @@ def test_rasterization_2dgs_distributed_kwarg_dispatch(rng, mesh):
             np.asarray(out1[i]), np.asarray(out0[i]),
             atol=5e-5, rtol=1e-4, err_msg=nm,
         )
+
+
+def test_distributed_2dgs_packed_matches_dense(rng, mesh):
+    """Packed fixed-capacity 2DGS surfel exchange == single-device
+    rasterization_2dgs (values + truncation signal) when pack_capacity is
+    sufficient — completes the reference's backend-agnostic packed protocol
+    for 2DGS (gsplat/rendering.py:416-459, csrc/Projection2DGSPacked.cu)."""
+    from gsplat_tpu.distributed import rasterization_2dgs_distributed_packed
+    from gsplat_tpu.rendering import rasterization_2dgs
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=128, C=8, W=32, H=32
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    bg = jnp.asarray(rng.random((8, 3)).astype(np.float32))
+
+    r0, a0, n0, nfd0, d0, md0, m0 = rasterization_2dgs(
+        *args, vm, K, W, H, render_mode="RGB+ED", distloss=True,
+        backgrounds=bg,
+    )
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    r1, a1, n1, nfd1, d1, md1, m1 = jax.jit(
+        lambda *a: rasterization_2dgs_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=16,
+            render_mode="RGB+ED", distloss=True, backgrounds=bg,
+        )
+    )(*sharded)
+    np.testing.assert_allclose(r0, r1, atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(n0, n1, atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(nfd0, nfd1, atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(d0, d1, atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(md0, md1, atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(m1["radii"]), np.asarray(m0["radii"])
+    )
+    assert int(m1["pack_required"]) <= 16
+
+
+def test_distributed_2dgs_packed_gradients_match(rng, mesh):
+    from gsplat_tpu.distributed import rasterization_2dgs_distributed_packed
+    from gsplat_tpu.rendering import rasterization_2dgs
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=128, C=8, W=32, H=32
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    wr = jnp.asarray(rng.standard_normal((8, H, W, 4)).astype(np.float32))
+
+    def loss_single(*a):
+        r, al, nrm, _, dist, _, _ = rasterization_2dgs(
+            *a, vm, K, W, H, render_mode="RGB+ED", distloss=True,
+        )
+        return jnp.sum(r * wr) + jnp.sum(al) + jnp.sum(nrm) + jnp.sum(dist)
+
+    def loss_packed(*a):
+        r, al, nrm, _, dist, _, _ = rasterization_2dgs_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=16,
+            render_mode="RGB+ED", distloss=True,
+        )
+        return jnp.sum(r * wr) + jnp.sum(al) + jnp.sum(nrm) + jnp.sum(dist)
+
+    g0 = jax.grad(loss_single, argnums=(0, 1, 2, 3, 4))(*args)
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    g1 = jax.jit(jax.grad(loss_packed, argnums=(0, 1, 2, 3, 4)))(*sharded)
+    names = ["means", "quats", "scales", "opacities", "colors"]
+    for n, x, y in zip(names, g0, g1):
+        s = max(float(jnp.abs(x).max()), 1.0)
+        np.testing.assert_allclose(
+            x, y, atol=2e-4 * s, rtol=2e-4, err_msg=f"grad {n}"
+        )
+
+
+def test_distributed_2dgs_packed_truncation_signal(rng, mesh):
+    from gsplat_tpu.distributed import rasterization_2dgs_distributed_packed
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(rng)
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    _, _, _, _, _, _, m = jax.jit(
+        lambda *a: rasterization_2dgs_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=4
+        )
+    )(*sharded)
+    assert int(m["pack_required"]) > 4
+
+
+def test_rasterization_2dgs_packed_kwarg_dispatch(rng, mesh):
+    """The public rasterization_2dgs(..., packed=True, distributed=True)
+    entry point routes to the packed surfel exchange (reference kwargs:
+    gsplat/rendering.py:1030-1031)."""
+    from gsplat_tpu.rendering import rasterization_2dgs
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=64, C=8, W=32, H=32
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    # compare against the dense distributed dispatch: both run the same
+    # per-shard projection+rasterization, so with ample pack_capacity the
+    # packed route must agree bit-for-bit (single-device differs by
+    # shard_map f32 reassociation flips on borderline alpha cutoffs —
+    # covered by test_distributed_2dgs_packed_matches_dense's tolerances)
+    r0, a0, *_ = jax.jit(
+        lambda *a: rasterization_2dgs(*a, vm, K, W, H, distributed=True, mesh=mesh)
+    )(*sharded)
+    r1, a1, *_rest = jax.jit(
+        lambda *a: rasterization_2dgs(
+            *a, vm, K, W, H, packed=True, distributed=True, mesh=mesh,
+            pack_capacity=16,
+        )
+    )(*sharded)
+    np.testing.assert_allclose(r0, r1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(a0, a1, atol=2e-6, rtol=1e-6)

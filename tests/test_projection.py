@@ -307,3 +307,110 @@ def test_packed_projection_truncation_and_grads(garden):
     gd = jax.grad(loss_dense, argnums=(0, 1, 2))(*args[:3])
     for a, b in zip(gp, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_packed_projection_2dgs_matches_dense(garden):
+    """Packed 2DGS COO output == dense surfel output compacted by the radii
+    mask (reference contract: gsplat/cuda/_wrapper.py:1306-1318,
+    csrc/Projection2DGSPacked.cu)."""
+    from gsplat_tpu.ops.projection_2dgs import (
+        fully_fused_projection_2dgs,
+        fully_fused_projection_2dgs_packed,
+    )
+
+    args = (
+        jnp.asarray(garden["means"]), jnp.asarray(garden["quats"]),
+        jnp.asarray(garden["scales"]), jnp.asarray(garden["viewmats"]),
+        jnp.asarray(garden["Ks"]), garden["width"], garden["height"],
+    )
+    radii_d, means2d_d, depths_d, M_d, normals_d = (
+        fully_fused_projection_2dgs(*args)
+    )
+    C, N = radii_d.shape
+    cam, gid, radii_p, means2d_p, depths_p, M_p, normals_p, nnz = (
+        fully_fused_projection_2dgs_packed(*args, capacity=C * N)
+    )
+    valid = np.asarray(radii_d) > 0
+    n = int(np.asarray(nnz))
+    assert n == valid.sum()
+    cam, gid = np.asarray(cam), np.asarray(gid)
+    assert (cam[n:] == -1).all() and (gid[n:] == -1).all()
+    assert (np.asarray(radii_p)[n:] == 0).all()
+    # camera-major ordering like the reference's compaction
+    flat_ids = cam[:n] * N + gid[:n]
+    assert (np.diff(flat_ids) > 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(radii_p)[:n], np.asarray(radii_d)[cam[:n], gid[:n]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(means2d_p)[:n], np.asarray(means2d_d)[cam[:n], gid[:n]],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(depths_p)[:n], np.asarray(depths_d)[cam[:n], gid[:n]],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(M_p)[:n], np.asarray(M_d)[cam[:n], gid[:n]], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(normals_p)[:n], np.asarray(normals_d)[cam[:n], gid[:n]],
+        rtol=1e-6,
+    )
+
+
+def test_packed_projection_2dgs_truncation_and_grads(garden):
+    """Small capacity truncates; the packed 2DGS path differentiates like
+    the dense masked path (sort transpose = inverse permutation)."""
+    from gsplat_tpu.ops.projection_2dgs import (
+        fully_fused_projection_2dgs,
+        fully_fused_projection_2dgs_packed,
+    )
+
+    args = (
+        jnp.asarray(garden["means"]), jnp.asarray(garden["quats"]),
+        jnp.asarray(garden["scales"]), jnp.asarray(garden["viewmats"]),
+        jnp.asarray(garden["Ks"]), garden["width"], garden["height"],
+    )
+    *_, nnz = fully_fused_projection_2dgs_packed(*args, capacity=8)
+    cap_small = int(np.asarray(nnz)) // 2
+    _, _, radii_s, *_ = fully_fused_projection_2dgs_packed(
+        *args, capacity=cap_small
+    )
+    assert (np.asarray(radii_s) > 0).all()
+
+    cap = int(np.asarray(nnz)) + 7
+
+    def loss_packed(means, quats, scales):
+        _, _, radii_p, means2d_p, depths_p, M_p, normals_p, _ = (
+            fully_fused_projection_2dgs_packed(
+                means, quats, scales, args[3], args[4], args[5], args[6],
+                capacity=cap,
+            )
+        )
+        m = (radii_p > 0).astype(jnp.float32)
+        return (
+            (means2d_p * m[:, None]).sum()
+            + (depths_p * m).sum()
+            + (M_p * m[:, None, None]).sum() * 1e-3
+            + (normals_p * m[:, None]).sum()
+        )
+
+    def loss_dense(means, quats, scales):
+        radii_d, means2d_d, depths_d, M_d, normals_d = (
+            fully_fused_projection_2dgs(
+                means, quats, scales, args[3], args[4], args[5], args[6]
+            )
+        )
+        m = (radii_d > 0).astype(jnp.float32)
+        return (
+            (means2d_d * m[..., None]).sum()
+            + (depths_d * m).sum()
+            + (M_d * m[..., None, None]).sum() * 1e-3
+            + (normals_d * m[..., None]).sum()
+        )
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(*args[:3])
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(*args[:3])
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

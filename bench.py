@@ -125,6 +125,68 @@ def main():
         )
     )
 
+    if backend == "binned":
+        # Side report (stderr, official metric stays C=1 for baseline
+        # comparability): the batched C=4 number — the reference also
+        # publishes batch-4 profiles (docs/source/tests/profile.rst:62-75)
+        # and camera batching amortizes the per-dispatch glue (PERF.md).
+        try:
+            _bench_batched(args, width, height, tile_size, 4)
+        except Exception as e:  # never let the side report break the metric
+            print(f"C=4 side bench failed: {e!r}", file=sys.stderr)
+
+
+def _bench_batched(args, width, height, tile_size, C):
+    from gsplat_tpu import rasterization
+    from gsplat_tpu.ops.binning import bin_gaussians
+    from gsplat_tpu.ops.projection import fully_fused_projection
+
+    vm = np.tile(np.asarray(args[5][:1]), (C, 1, 1))
+    for c in range(1, C):  # distinct nearby views, like a training batch
+        vm[c, 0, 3] += 0.05 * c
+        vm[c, 1, 3] -= 0.03 * c
+    vm = jnp.asarray(vm)
+    Ks = jnp.tile(jnp.asarray(args[6][:1]), (C, 1, 1))
+
+    radii, means2d, depths, conics, _ = jax.jit(
+        lambda m, q, s: fully_fused_projection(
+            m, q, s, vm, Ks, width, height
+        )
+    )(args[0], args[1], args[2])
+    tw, th = -(-width // tile_size), -(-height // tile_size)
+    N_ = args[0].shape[0]
+    opc = jnp.broadcast_to(args[3][None], (C, N_))
+    colp = jnp.broadcast_to(args[4][None], (C, N_, 3))
+    probe = bin_gaussians(
+        means2d[..., 0], means2d[..., 1], conics[..., 0],
+        conics[..., 1], conics[..., 2], opc, colp, radii, depths,
+        tile_size, tw, th, capacity=512, cull=True,
+    )
+    cap = int(probe.slab_required) + 1024
+
+    def loss_fn(means, quats, scales, opacities, colors):
+        render, alphas, _ = rasterization(
+            means, quats, scales, opacities, colors, vm, Ks,
+            width, height, backend="binned", isect_capacity=cap,
+            tile_size=tile_size,
+        )
+        return jnp.sum(render) + jnp.sum(alphas)
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    out = step(*args[:5])
+    jax.block_until_ready(out)
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(args[0] + np.float32(i + 1) * 1e-7, *args[1:5])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        f"side report C={C}: {C * width * height / dt:.3e} pixels/s "
+        f"fwd+bwd ({dt*1e3:.1f} ms/step, capacity={cap})",
+        file=sys.stderr,
+    )
+
 
 if __name__ == "__main__":
     main()

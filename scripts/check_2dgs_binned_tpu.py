@@ -36,6 +36,13 @@ def parity():
     from gsplat_tpu.ops.rasterize_2dgs_ref import rasterize_to_pixels_2dgs_ref
 
     W, H, ts = 64, 48, int(os.environ.get("TS", 16))
+    pb = int(os.environ.get("GSPLAT_PB", 256))
+    assert (ts * ts) % min(ts * ts, pb) == 0, (
+        f"TS={ts} gives {ts*ts} pixels/tile, not divisible into "
+        f"GSPLAT_PB={pb} sub-blocks (the binned backward asserts "
+        "P % min(P, PB) == 0); use a multiple-of-16 TS or set GSPLAT_PB "
+        f"to a divisor of {ts*ts}"
+    )
     if ts > 16:
         W, H = 2 * ts, int(1.5 * ts)  # keep the scene a couple tiles wide
     means, quats, scales, opac, colors, vm, Ks = _scene(W=W, H=H)

@@ -147,6 +147,10 @@ class PngCompression:
     """Quantize + sort + PNG-compress splats; K-means for SH rest bands."""
 
     use_sort: bool = True
+    # opt-in blur-guided pair-swap refinement after the serpentine sort
+    # (compression/sort.py::plas_refine; measured study in
+    # scripts/exp_plas_gap.py — serpentine alone is the default)
+    plas: bool = False
     verbose: bool = False
 
     _compress_map = {
@@ -182,7 +186,7 @@ class PngCompression:
             keep = np.argsort(splats["opacities"].reshape(-1))[n_crop:]
             splats = {k: v[keep] for k, v in splats.items()}
         if self.use_sort:
-            splats = sort_splats(splats, n_sidelen=n_sidelen)
+            splats = sort_splats(splats, n_sidelen=n_sidelen, plas=self.plas)
 
         meta = {}
         for name, value in splats.items():

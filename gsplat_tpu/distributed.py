@@ -53,6 +53,7 @@ except ImportError:  # pragma: no cover
 
 from .ops.isect import isect_tiles
 from .ops.projection import fully_fused_projection_soa
+from .ops.rasterize import resolve_auto_backend
 from .ops.rasterize_ref import rasterize_to_pixels_ref
 from .ops.sh import spherical_harmonics
 
@@ -193,8 +194,9 @@ def rasterization_distributed(
         f"#cameras ({C}) must be divisible by mesh axis '{axis}' ({n_shards}) "
         "— same constraint as the reference (gsplat/rendering.py:305-306)"
     )
-    if backend == "auto":
-        backend = "binned" if isect_capacity is not None else "oracle"
+    backend, isect_capacity = resolve_auto_backend(
+        backend, isect_capacity, C // n_shards, means.shape[0], width, height
+    )
     backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
 
     if per_camera_colors:
@@ -389,8 +391,9 @@ def rasterization_distributed_packed(
     n_shards = mesh.shape[axis]
     C = viewmats.shape[0]
     assert C % n_shards == 0
-    if backend == "auto":
-        backend = "binned" if isect_capacity is not None else "oracle"
+    backend, isect_capacity = resolve_auto_backend(
+        backend, isect_capacity, C // n_shards, means.shape[0], width, height
+    )
     backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
 
     if sh_degree is not None:
@@ -695,8 +698,9 @@ def rasterization_2dgs_distributed(
     assert C % n_shards == 0, (
         f"#cameras ({C}) must be divisible by mesh axis '{axis}' ({n_shards})"
     )
-    if backend == "auto":
-        backend = "binned" if isect_capacity is not None else "oracle"
+    backend, isect_capacity = resolve_auto_backend(
+        backend, isect_capacity, C // n_shards, means.shape[0], width, height
+    )
     backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
 
     if per_camera_colors:
@@ -878,8 +882,9 @@ def rasterization_2dgs_distributed_packed(
     assert C % n_shards == 0, (
         f"#cameras ({C}) must be divisible by mesh axis '{axis}' ({n_shards})"
     )
-    if backend == "auto":
-        backend = "binned" if isect_capacity is not None else "oracle"
+    backend, isect_capacity = resolve_auto_backend(
+        backend, isect_capacity, C // n_shards, means.shape[0], width, height
+    )
     backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
 
     if sh_degree is not None:

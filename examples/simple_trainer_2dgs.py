@@ -112,23 +112,17 @@ class Runner2DGS(Runner):
     ):
         """2DGS surfel rows through the same Gaussian-sharded exchange
         (reference trains 2DGS via the identical distributed machinery,
-        gsplat/rendering.py:1018+)."""
-        from gsplat_tpu.distributed import rasterization_2dgs_distributed
+        gsplat/rendering.py:1018+). ``--packed`` swaps in the
+        fixed-capacity visible-surfel exchange with the same
+        pack_required growth loop as the 3DGS trainer."""
+        from gsplat_tpu.distributed import (
+            rasterization_2dgs_distributed,
+            rasterization_2dgs_distributed_packed,
+        )
 
         cfg = self.cfg
         use_dist = self._cur_step >= self.dist_start
-        (
-            render, alphas, normals, normals_depth, distort, median, meta
-        ) = rasterization_2dgs_distributed(
-            params["means"],
-            params["quats"],
-            jnp.exp(params["scales"]),
-            jax.nn.sigmoid(params["opacities"]),
-            colors,
-            viewmats,
-            Ks,
-            width,
-            height,
+        kwargs = dict(
             mesh=mesh,
             sh_degree=sh_deg_arg,
             near_plane=cfg.near_plane,
@@ -138,9 +132,31 @@ class Runner2DGS(Runner):
             isect_capacity=isect_capacity,
             masks=live,
             densify_carrier=carrier,
-            per_camera_colors=sh_deg_arg is None,
             render_mode="RGB+ED",
             distloss=use_dist,
+        )
+        if cfg.packed:
+            assert sh_deg_arg is not None, (
+                "--packed requires SH colors (no --app-opt)"
+            )
+            fn = rasterization_2dgs_distributed_packed
+            kwargs["pack_capacity"] = self.pack_capacity
+        else:
+            fn = rasterization_2dgs_distributed
+            kwargs["per_camera_colors"] = sh_deg_arg is None
+        (
+            render, alphas, normals, normals_depth, distort, median, meta
+        ) = fn(
+            params["means"],
+            params["quats"],
+            jnp.exp(params["scales"]),
+            jax.nn.sigmoid(params["opacities"]),
+            colors,
+            viewmats,
+            Ks,
+            width,
+            height,
+            **kwargs,
         )
         depths_map = render[..., -1:]
         geom = {

@@ -238,10 +238,12 @@ def test_trainer_2dgs_smoke(tmp_path, rng, flags):
         assert np.all(np.isfinite(np.asarray(v)))
 
 
-def test_trainer_2dgs_distributed_smoke(tmp_path, rng):
+@pytest.mark.parametrize("packed", [False, True], ids=["dense", "packed"])
+def test_trainer_2dgs_distributed_smoke(tmp_path, rng, packed):
     """2DGS distributed training on the 8-device CPU mesh: the surfel rows
     ride the same Gaussian-sharded exchange (rasterization_2dgs_distributed)
-    with the inherited loop's geometry losses."""
+    with the inherited loop's geometry losses; --packed swaps in the
+    fixed-capacity visible-surfel exchange + pack_required growth loop."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     mod = _load_trainer()
@@ -267,6 +269,7 @@ def test_trainer_2dgs_distributed_smoke(tmp_path, rng):
         pool_headroom=1.5,
         distributed=True,
         batch_size=8,
+        packed=packed,
     )
     runner = mod2.Runner2DGS(cfg, normal_start=2, dist_start=1)
     assert runner.mesh is not None

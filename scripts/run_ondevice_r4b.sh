@@ -24,7 +24,7 @@ stage() {
 # expected-possible and non-fatal; parity first so a fit is trustworthy)
 stage ts48_exact_kf128 env TS=48 GSPLAT_KF=128 GSPLAT_KB=128 python scripts/check_binned_tpu.py parity bench
 stage ts48_exact_kf256 env TS=48 GSPLAT_KF=256 GSPLAT_KB=128 python scripts/check_binned_tpu.py bench
-stage ts48_exact_kb64  env TS=48 GSPLAT_KF=128 GSPLAT_KB=64  python scripts/check_binned_tpu.py bench
-stage ts64_exact_kf128 env TS=64 GSPLAT_KF=128 GSPLAT_KB=64  python scripts/check_binned_tpu.py bench
+stage ts48_exact_ts32kb env TS=48 GSPLAT_KF=256 GSPLAT_KB=256 python scripts/check_binned_tpu.py bench
+stage ts64_exact_kf128 env TS=64 GSPLAT_KF=128 GSPLAT_KB=128 python scripts/check_binned_tpu.py bench
 
 echo "$(date) R4B QUEUE DONE" | tee -a "$LOGDIR/queue.log"

@@ -81,6 +81,7 @@ def _fwd_kernel(
     native: bool,
     skip: bool,
     mxu_sigma: bool,
+    slice_skip: bool,
 ):
     t = pl.program_id(0)
     off = offs_ref[t]
@@ -144,85 +145,118 @@ def _fwd_kernel(
 
         _ecopy(entries_hbm, ebuf, esem, astart + b * K, slot, K).wait()
 
+        def slice_math(e, s, T_test, T_out_v, last_v):
+            """One 128-lane compute slice; returns the color contribution
+            [Dp, P] and the updated (T_test, T_out_v, last_v) carries."""
+            gx, gy = e[0:1, :], e[1:2, :]
+            ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
+            op = e[5:6, :]
+            if mxu_sigma:
+                gxl = gx - x0
+                gyl = gy - y0
+                coef = jnp.concatenate(
+                    [0.5 * ca, cb, 0.5 * cc,
+                     -(ca * gxl + cb * gyl), -(cc * gyl + cb * gxl),
+                     0.5 * (ca * gxl * gxl + cc * gyl * gyl)
+                     + cb * gxl * gyl,
+                     jnp.zeros((2, LANES), jnp.float32)],
+                    axis=0,
+                )  # [8, LANES] — built on 1-sublane rows, ~P x cheaper
+                sig = jax.lax.dot_general(
+                    Qm, coef, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [P, LANES]
+                # the expanded polynomial cancels at gaussian centers
+                # (true sigma -> 0): accept tiny negative rounding noise
+                # instead of dropping the center pixel, but still reject
+                # genuinely indefinite conics like the exact path does
+                araw = op * jnp.exp(-jnp.maximum(sig, 0.0))
+                sig_ok = sig >= -1e-3
+            else:
+                dx = px - gx
+                dy = py - gy
+                sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+                araw = op * jnp.exp(-sig)
+                sig_ok = sig >= 0.0
+            alpha = jnp.minimum(araw, ALPHA_MAX)
+            gidx = astart + b * K + s * LANES + kidx  # [1, 128]
+            colmask = (gidx >= off) & (gidx < off + n)
+            valid = colmask & (alpha >= ALPHA_MIN) & sig_ok
+            one_m = jnp.where(valid, 1.0 - alpha, 1.0)
+
+            # multiplicative transmittance (reference CUDA semantics:
+            # progressive T *= (1-alpha)); two transcendentals fewer
+            # per pair than the log-space chain. The exclusive product
+            # comes from a lane roll of the inclusive scan — NOT
+            # T_incl/one_m, whose division would amplify rounding by
+            # up to 1/(1-MAX)=1e3
+            Tm = _cumprod_lanes(one_m, LANES, "fwd_incl", native)
+            roll = pltpu.roll if native else jnp.roll
+            Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
+            T_excl = Tm_excl * T_test
+            T_incl = T_excl * one_m
+            accept = valid & (T_incl > TRANSMITTANCE_EPS)
+            w = jnp.where(accept, T_excl * alpha, 0.0)
+
+            contrib = jax.lax.dot_general(
+                e[6 : 6 + Dp, :], w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+            T_test = T_test * Tm[:, LANES - 1 :]
+            # deferred reductions: accumulate LANE-WISE min/max and
+            # reduce once per tile after the loop. Product over
+            # accepted == T_incl at the LAST accepted pair (monotone
+            # chain; Mosaic has no reduce_prod).
+            T_out_v = jnp.minimum(T_out_v, jnp.where(accept, T_incl, 1.0))
+            last_v = jnp.maximum(last_v, jnp.where(accept, gidx, -1))
+            return contrib, T_test, T_out_v, last_v
+
         @pl.when(done_ref[0] == 0)
         def _compute():
             eb = ebuf[slot]  # [F, K]
-            T_test = Tt_ref[...]
-            T_out_v = Tov_ref[...]
-            last_v = lv_ref[...]
-            acc = jnp.zeros_like(accum_ref[0])
-            # one DMA per K entries, VPU math in 128-lane slices
-            for s in range(NS):
-                e = eb[:, s * LANES : (s + 1) * LANES]
-                gx, gy = e[0:1, :], e[1:2, :]
-                ca, cb, cc = e[2:3, :], e[3:4, :], e[4:5, :]
-                op = e[5:6, :]
-                if mxu_sigma:
-                    gxl = gx - x0
-                    gyl = gy - y0
-                    coef = jnp.concatenate(
-                        [0.5 * ca, cb, 0.5 * cc,
-                         -(ca * gxl + cb * gyl), -(cc * gyl + cb * gxl),
-                         0.5 * (ca * gxl * gxl + cc * gyl * gyl)
-                         + cb * gxl * gyl,
-                         jnp.zeros((2, LANES), jnp.float32)],
-                        axis=0,
-                    )  # [8, LANES] — built on 1-sublane rows, ~P x cheaper
-                    sig = jax.lax.dot_general(
-                        Qm, coef, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # [P, LANES]
-                    # the expanded polynomial cancels at gaussian centers
-                    # (true sigma -> 0): accept tiny negative rounding noise
-                    # instead of dropping the center pixel, but still reject
-                    # genuinely indefinite conics like the exact path does
-                    araw = op * jnp.exp(-jnp.maximum(sig, 0.0))
-                    sig_ok = sig >= -1e-3
-                else:
-                    dx = px - gx
-                    dy = py - gy
-                    sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-                    araw = op * jnp.exp(-sig)
-                    sig_ok = sig >= 0.0
-                alpha = jnp.minimum(araw, ALPHA_MAX)
-                gidx = astart + b * K + s * LANES + kidx  # [1, 128]
-                colmask = (gidx >= off) & (gidx < off + n)
-                valid = colmask & (alpha >= ALPHA_MIN) & sig_ok
-                one_m = jnp.where(valid, 1.0 - alpha, 1.0)
-
-                # multiplicative transmittance (reference CUDA semantics:
-                # progressive T *= (1-alpha)); two transcendentals fewer
-                # per pair than the log-space chain. The exclusive product
-                # comes from a lane roll of the inclusive scan — NOT
-                # T_incl/one_m, whose division would amplify rounding by
-                # up to 1/(1-MAX)=1e3
-                Tm = _cumprod_lanes(one_m, LANES, "fwd_incl", native)
-                roll = pltpu.roll if native else jnp.roll
-                Tm_excl = jnp.where(kidx >= 1, roll(Tm, 1, 1), 1.0)
-                T_excl = Tm_excl * T_test
-                T_incl = T_excl * one_m
-                accept = valid & (T_incl > TRANSMITTANCE_EPS)
-                w = jnp.where(accept, T_excl * alpha, 0.0)
-
-                acc += jax.lax.dot_general(
-                    e[6 : 6 + Dp, :], w,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-
-                T_test = T_test * Tm[:, LANES - 1 :]
-                # deferred reductions: accumulate LANE-WISE min/max and
-                # reduce once per tile after the loop. Product over
-                # accepted == T_incl at the LAST accepted pair (monotone
-                # chain; Mosaic has no reduce_prod).
-                T_out_v = jnp.minimum(T_out_v, jnp.where(accept, T_incl, 1.0))
-                last_v = jnp.maximum(last_v, jnp.where(accept, gidx, -1))
-            accum_ref[0] += acc
-            Tt_ref[...] = T_test
-            Tov_ref[...] = T_out_v
-            lv_ref[...] = last_v
+            if slice_skip:
+                # Per-slice skip of fully-dead trailing lanes: slices at or
+                # past off+n hold only colmask-invalid entries (astart is
+                # rounded DOWN, so there are no fully-dead leading slices)
+                # and change no carry — their VPU math is skipped entirely
+                # under a scalar pl.when (the same non-serializing predicate
+                # pattern as the done flag; trip counts stay static, DMAs
+                # unconditional). Carries ride the existing VMEM refs; the
+                # price is per-live-slice ref traffic (2x [P,LANES]
+                # load+store), weighed against ~KF/2 dead trailing lanes per
+                # tile at KF=512 — an on-device A/B decision
+                # (GSPLAT_SLICE_SKIP).
+                for s in range(NS):
+                    @pl.when(astart + b * K + s * LANES < off + n)
+                    def _sl(s=s):
+                        contrib, T_test, T_out_v, last_v = slice_math(
+                            eb[:, s * LANES : (s + 1) * LANES], s,
+                            Tt_ref[...], Tov_ref[...], lv_ref[...],
+                        )
+                        accum_ref[0] += contrib
+                        Tt_ref[...] = T_test
+                        Tov_ref[...] = T_out_v
+                        lv_ref[...] = last_v
+            else:
+                T_test = Tt_ref[...]
+                T_out_v = Tov_ref[...]
+                last_v = lv_ref[...]
+                acc = jnp.zeros_like(accum_ref[0])
+                # one DMA per K entries, VPU math in 128-lane slices
+                for s in range(NS):
+                    contrib, T_test, T_out_v, last_v = slice_math(
+                        eb[:, s * LANES : (s + 1) * LANES], s,
+                        T_test, T_out_v, last_v,
+                    )
+                    acc += contrib
+                accum_ref[0] += acc
+                Tt_ref[...] = T_test
+                Tov_ref[...] = T_out_v
+                lv_ref[...] = last_v
             if skip:
                 # whole-tile saturation: once EVERY pixel's running T is at
                 # or below the termination threshold, no later entry can be
@@ -231,7 +265,7 @@ def _fwd_kernel(
                 # does NOT serialize the pipeline the way a data-dependent
                 # fori/while condition does (PERF.md round-2 rule): the
                 # trip count stays static and DMAs stay unconditional.
-                sat = jnp.max(T_test) <= TRANSMITTANCE_EPS
+                sat = jnp.max(Tt_ref[...]) <= TRANSMITTANCE_EPS
                 done_ref[0] = jnp.where(sat, 1, done_ref[0])
 
         return 0
@@ -596,7 +630,7 @@ def _reduce_call(gid_sorted, vg_sorted, M: int, GR: int, interpret: bool):
 
 
 def _fwd_call(cfg, entries, offs, cnts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -618,6 +652,7 @@ def _fwd_call(cfg, entries, offs, cnts):
     kernel = functools.partial(
         _fwd_kernel, K=KF, P=P, Dp=Dp, ts=ts, tw=tw, th=th,
         native=not interpret, skip=skipf, mxu_sigma=mxu_sigma,
+        slice_skip=slice_skip,
     )
     return pl.pallas_call(
         kernel,
@@ -635,7 +670,7 @@ def _fwd_call(cfg, entries, offs, cnts):
 
 
 def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -688,7 +723,7 @@ def _raster_binned(cfg, packed, absc, radii, depths):
 
 
 def _bin_from_packed(cfg, packed, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     rs = lambda r: packed[r].reshape(C, N)
     colors = jnp.stack([rs(6 + d) for d in range(D)], axis=-1)
     return bin_gaussians(
@@ -698,7 +733,7 @@ def _bin_from_packed(cfg, packed, radii, depths):
 
 
 def _raster_binned_fwd(cfg, packed, absc, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
     NF = binned.entries.shape[0]
     # row F-1 carries the entry's gid as an exact f32 (< 2^24) for the
@@ -724,7 +759,7 @@ def _raster_binned_fwd(cfg, packed, absc, radii, depths):
 
 
 def _raster_binned_bwd(cfg, res, cts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     entries, offs, cnts, logT, last = res
     v_accum, v_logT, _, _ = cts
     acnt = ((cnts + KB - 1) // KB + 1) * KB  # +KB: astart may precede offs
@@ -791,6 +826,7 @@ def rasterize_to_pixels_binned(
     bwd_batch_size: Optional[int] = None,
     skip_saturated: bool = True,
     sigma_mxu: Optional[bool] = None,
+    slice_skip: Optional[bool] = None,
 ):
     """Rasterize via the binning engine (emit -> payload sort -> kernels).
 
@@ -805,9 +841,15 @@ def rasterize_to_pixels_binned(
     flips the default; off until the on-device A/B in
     scripts/exp_mxu_kernel_shapes.py shows a win — expanded-polynomial
     rounding is ~1e-3 absolute in sigma vs the exact path).
+    ``slice_skip`` runtime-skips fully-dead trailing 128-lane slices in the
+    fwd kernel (bit-identical; env ``GSPLAT_SLICE_SKIP=1`` flips the
+    default, off until the on-device A/B: it trades ~KF/2 dead trailing
+    lanes/tile for 2x [P,LANES] carry-ref traffic per live slice).
     """
     if sigma_mxu is None:
         sigma_mxu = os.environ.get("GSPLAT_SIGMA_MXU", "0") == "1"
+    if slice_skip is None:
+        slice_skip = os.environ.get("GSPLAT_SLICE_SKIP", "0") == "1"
     # on-device sweep hooks: with the LANES-aligned stream base the
     # back-of-range boundary waste scales with K, so smaller K trades DMA
     # count against masked lanes — measure, don't guess
@@ -861,6 +903,7 @@ def rasterize_to_pixels_binned(
         C, N, T, th, tw, ts, P, D, Dp, F, KF, KB,
         _round_up(capacity, 512), GR, _interpret(),
         abs_carrier is not None, cull, skip_saturated, sigma_mxu,
+        slice_skip,
     )
     accum, logT, n_isects, slab_required = _raster_binned(
         cfg, packed, absc, radii, depths

@@ -27,4 +27,9 @@ stage ts48_exact_kf256 env TS=48 GSPLAT_KF=256 GSPLAT_KB=128 python scripts/chec
 stage ts48_exact_ts32kb env TS=48 GSPLAT_KF=256 GSPLAT_KB=256 python scripts/check_binned_tpu.py bench
 stage ts64_exact_kf128 env TS=64 GSPLAT_KF=128 GSPLAT_KB=128 python scripts/check_binned_tpu.py bench
 
+# fwd per-slice dead-lane skip (GSPLAT_SLICE_SKIP, bit-identical off-TPU):
+# parity first, then A/B at the default KF=512 where trailing waste is ~2
+# dead slices/tile
+stage slice_skip      env GSPLAT_SLICE_SKIP=1 python scripts/check_binned_tpu.py parity bench
+
 echo "$(date) R4B QUEUE DONE" | tee -a "$LOGDIR/queue.log"

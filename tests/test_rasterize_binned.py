@@ -319,3 +319,41 @@ def test_full_slab_boundary_reads(rng):
             np.asarray(alphas), np.asarray(ref_a), atol=2e-5,
             err_msg=f"cap={cap}",
         )
+
+
+def test_binned_slice_skip_matches_exact(rng):
+    """slice_skip=True (runtime skip of fully-dead trailing lane slices,
+    GSPLAT_SLICE_SKIP) must be bit-identical to the default path, values
+    AND gradients — the skipped slices hold only colmask-invalid lanes."""
+    C, W, H, ts, D = 2, 64, 48, 16, 3
+    radii, means2d, depths, conics, colors, opac = _scene(rng, C=C, W=W, H=H, D=D)
+    bg = jnp.asarray(rng.random((C, D)).astype(np.float32))
+
+    def run(ss):
+        return rasterize_to_pixels_binned(
+            means2d, conics, colors, opac, radii, depths, W, H, ts,
+            capacity=8192, backgrounds=bg, slice_skip=ss,
+        )
+
+    r0, a0, _ = run(False)
+    r1, a1, _ = run(True)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+
+    wr = jnp.asarray(rng.standard_normal(r0.shape).astype(np.float32))
+
+    def loss(ss, m2d, con, col, op):
+        r, a, _ = rasterize_to_pixels_binned(
+            m2d, con, col, op, radii, depths, W, H, ts,
+            capacity=8192, backgrounds=bg, slice_skip=ss,
+        )
+        return jnp.sum(r * wr) + jnp.sum(a)
+
+    g0 = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3))(
+        means2d, conics, colors, opac
+    )
+    g1 = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3))(
+        means2d, conics, colors, opac
+    )
+    for x, y in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

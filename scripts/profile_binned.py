@@ -85,8 +85,11 @@ GR = RB._round_up(1 + 6 + D, 8)
 capA = RB._round_up(cap, 512)
 Kf, Kb = 512, 128
 P = ts * ts
+# (..., interpret, absgrad, cull, skip_saturated, sigma_mxu, slice_skip) —
+# keep in sync with rasterize_to_pixels_binned's cfg tuple (production
+# defaults: saturation skip on, MXU sigma off, slice skip off)
 cfg = (C, N, T, th, tw, ts, P, D, Dp, F, Kf, Kb, capA, GR,
-       False, False, True)
+       False, False, True, True, False, False)
 
 
 def tsum(x):

@@ -32,4 +32,11 @@ stage ts64_exact_kf128 env TS=64 GSPLAT_KF=128 GSPLAT_KB=128 python scripts/chec
 # dead slices/tile
 stage slice_skip      env GSPLAT_SLICE_SKIP=1 python scripts/check_binned_tpu.py parity bench
 
+# 2DGS ts decision needs a same-session exact ts=16 baseline (the r4 queue
+# only benched ts=32/coef variants; coef lost and is staying off)
+stage bench2d_ts16    python scripts/check_2dgs_binned_tpu.py bench
+
+# refreshed stage split (the r4 profile stage hit the stale cfg tuple)
+stage profile2        python scripts/profile_binned.py
+
 echo "$(date) R4B QUEUE DONE" | tee -a "$LOGDIR/queue.log"

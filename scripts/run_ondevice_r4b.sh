@@ -20,23 +20,16 @@ stage() {
   tail -5 "$LOGDIR/$name.log" | tee -a "$LOGDIR/queue.log"
 }
 
+# decision-critical stages first
+stage slice_skip      env GSPLAT_SLICE_SKIP=1 python scripts/check_binned_tpu.py parity bench
+stage profile2        python scripts/profile_binned.py
+stage bench2d_ts16    python scripts/check_2dgs_binned_tpu.py bench
+
 # VMEM-fit probes: ts=48 exact sigma with shrinking K (a failed stage is
 # expected-possible and non-fatal; parity first so a fit is trustworthy)
 stage ts48_exact_kf128 env TS=48 GSPLAT_KF=128 GSPLAT_KB=128 python scripts/check_binned_tpu.py parity bench
 stage ts48_exact_kf256 env TS=48 GSPLAT_KF=256 GSPLAT_KB=128 python scripts/check_binned_tpu.py bench
 stage ts48_exact_ts32kb env TS=48 GSPLAT_KF=256 GSPLAT_KB=256 python scripts/check_binned_tpu.py bench
 stage ts64_exact_kf128 env TS=64 GSPLAT_KF=128 GSPLAT_KB=128 python scripts/check_binned_tpu.py bench
-
-# fwd per-slice dead-lane skip (GSPLAT_SLICE_SKIP, bit-identical off-TPU):
-# parity first, then A/B at the default KF=512 where trailing waste is ~2
-# dead slices/tile
-stage slice_skip      env GSPLAT_SLICE_SKIP=1 python scripts/check_binned_tpu.py parity bench
-
-# 2DGS ts decision needs a same-session exact ts=16 baseline (the r4 queue
-# only benched ts=32/coef variants; coef lost and is staying off)
-stage bench2d_ts16    python scripts/check_2dgs_binned_tpu.py bench
-
-# refreshed stage split (the r4 profile stage hit the stale cfg tuple)
-stage profile2        python scripts/profile_binned.py
 
 echo "$(date) R4B QUEUE DONE" | tee -a "$LOGDIR/queue.log"

@@ -815,8 +815,11 @@ def rasterize_to_pixels_2dgs_binned(
     ``coef_sigma`` evaluates sigma through the affine coefficient form of
     the cross products and the backward through MXU moment contractions
     (see the module-level note above `_coef_rows`); env
-    ``GSPLAT_2DGS_COEF=1`` flips the default. Off until the on-device A/B
-    shows a win — outputs match the exact path to f32 reassociation."""
+    ``GSPLAT_2DGS_COEF=1`` flips the default. A/B'd on-device 2026-08-19
+    (PERF.md round-4): LOSES — 3563.7 ms vs the exact path at the same
+    workload (ts=16, parity held) and FAILS parity at ts=32 (the affine
+    coefficient expansion cancels too coarsely at 32-pixel tile extents).
+    Stays off; kept for re-testing on future hardware."""
     if coef_sigma is None:
         coef_sigma = os.environ.get("GSPLAT_2DGS_COEF", "0") == "1"
     if isinstance(means2d, (tuple, list)):

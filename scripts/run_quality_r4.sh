@@ -25,8 +25,9 @@ run() {
       --result-dir "$OUT/$name" 2>&1 | tail -40
 }
 
-run default30k default "${common[@]}"
+# mcmc first: its checkpoint feeds the compression artifact below
 run mcmc30k    mcmc    "${common[@]}" --cap-max 300000 --compression png
+run default30k default "${common[@]}"
 run absgrad30k default "${common[@]}" --absgrad --grow-grad2d 0.0008
 
 # compression A/B from the mcmc checkpoint: serpentine vs +plas_refine

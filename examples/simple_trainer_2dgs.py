@@ -39,8 +39,10 @@ class Runner2DGS(Runner):
         self.normal_start = normal_start
         self.dist_start = dist_start
         self._cur_step = 0
-        # the 2DGS backward kernel's live set exceeds the v5e 16MB VMEM at
-        # tile_size 32 (ray-transform cross products); 16 fits
+        # ts=16 measured FASTER than ts=32 for the surfel kernels on v5e
+        # (1892 vs 2347 ms/frame, same session, PERF.md round-4): the
+        # heavier per-pair ray-transform math scales worse with P than the
+        # binning savings, unlike 3DGS where ts=32 wins 1.7x
         cfg.tile_size = min(cfg.tile_size, 16)
         super().__init__(cfg)
 

@@ -31,6 +31,9 @@ def _load_trainer():
     )
     spec = importlib.util.spec_from_file_location("simple_trainer", path)
     mod = importlib.util.module_from_spec(spec)
+    # dataclasses resolves the defining module via sys.modules at class
+    # creation; without this registration Config fails to build
+    sys.modules["simple_trainer"] = mod
     spec.loader.exec_module(mod)
     return mod
 

@@ -21,6 +21,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+if os.environ.get("GSPLAT_FORCE_CPU") == "1":
+    # `JAX_PLATFORMS=cpu` is ignored in this image (axon plugin override);
+    # the config call is the working escape hatch (CLAUDE.md)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 

@@ -18,11 +18,26 @@ common=(--data-dir "$DATA" --data-factor 1 --white-bkgd
         --test-every 8 --max-steps 30000
         --eval-steps 7000 15000 30000 --save-steps 30000)
 
+persist() {
+  # copy evidence into the repo after EVERY run so a deadline kill of the
+  # suite (chain wrapper) never loses completed milestones
+  for name in default30k mcmc30k absgrad30k; do
+    for f in "$OUT/$name"/val_step*.json "$OUT/$name"/stats.jsonl \
+             "$OUT/$name"/compression_*/report.json; do
+      [ -f "$f" ] || continue
+      rel=${f#"$OUT/"}
+      mkdir -p "$RES/$(dirname "$rel")"
+      cp "$f" "$RES/$rel"
+    done
+  done
+}
+
 run() {
   name=$1; shift
   if [ -f "$OUT/$name/val_step30000.json" ]; then echo "skip $name"; return; fi
   timeout 28800 python examples/simple_trainer.py "$@" \
       --result-dir "$OUT/$name" 2>&1 | tail -40
+  persist
 }
 
 # mcmc first: its checkpoint feeds the compression artifact below
@@ -39,16 +54,7 @@ if [ -f "$OUT/mcmc30k/ckpt_30000.npz" ] && [ ! -f "$RES/compression.csv" ]; then
     --out-csv "$RES/compression.csv" 2>&1 | tail -20
 fi
 
-# persist the evidence into the repo
-for name in default30k mcmc30k absgrad30k; do
-  for f in "$OUT/$name"/val_step*.json "$OUT/$name"/train_stats.jsonl \
-           "$OUT/$name"/compression_*/report.json; do
-    [ -f "$f" ] || continue
-    rel=${f#"$OUT/"}
-    mkdir -p "$RES/$(dirname "$rel")"
-    cp "$f" "$RES/$rel"
-  done
-done
+persist
 
 echo "=== results ==="
 for f in "$RES"/*/val_step*.json; do echo "$f: $(cat "$f")"; done

@@ -16,7 +16,7 @@ mkdir -p "$OUT" "$RES"
 
 common=(--data-dir "$DATA" --data-factor 1 --white-bkgd
         --test-every 8 --max-steps 30000
-        --eval-steps 7000 15000 30000 --save-steps 30000)
+        --eval-steps 7000 15000 30000 --save-steps 7000 15000 30000)
 
 persist() {
   # copy evidence into the repo after EVERY run so a deadline kill of the
@@ -48,9 +48,10 @@ run absgrad30k default "${common[@]}" --absgrad --grow-grad2d 0.0008
 # compression A/B from the mcmc checkpoint: serpentine vs +plas_refine
 # (end-to-end {#GS, PSNR-after-decompress, bytes} — the artifact the
 # reference publishes in examples/benchmarks/compression/results/*.csv)
-if [ -f "$OUT/mcmc30k/ckpt_30000.npz" ] && [ ! -f "$RES/compression.csv" ]; then
+CKPT=$(ls -v "$OUT"/mcmc30k/ckpt_*.npz 2>/dev/null | tail -1)
+if [ -n "$CKPT" ] && [ ! -f "$RES/compression.csv" ]; then
   timeout 7200 python scripts/compress_eval.py \
-    --ckpt "$OUT/mcmc30k/ckpt_30000.npz" --data-dir "$DATA" \
+    --ckpt "$CKPT" --data-dir "$DATA" \
     --out-csv "$RES/compression.csv" 2>&1 | tail -20
 fi
 

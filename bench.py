@@ -20,6 +20,42 @@ import jax.numpy as jnp
 BASELINE_PIXELS_PER_S = 1.286e8
 
 
+def _probe_capacity(params, vm, Ks, width, height, tile_size):
+    """Out-of-jit slab-budget probe: project once, count the exact entry
+    demand via the binning engine's slab_required signal, add headroom.
+    One recipe for the C=1 official metric and the C=4 side report so the
+    two numbers always measure the same capacity policy."""
+    from gsplat_tpu.ops.binning import bin_gaussians
+    from gsplat_tpu.ops.projection import fully_fused_projection
+
+    radii, means2d, depths, conics, _ = jax.jit(
+        lambda m, q, s: fully_fused_projection(m, q, s, vm, Ks, width, height)
+    )(params[0], params[1], params[2])
+    tw, th = -(-width // tile_size), -(-height // tile_size)
+    C_, N_ = vm.shape[0], params[0].shape[0]
+    opc = jnp.broadcast_to(params[3][None], (C_, N_))
+    colp = jnp.broadcast_to(params[4][None], (C_, N_, 3))
+    probe = bin_gaussians(
+        means2d[..., 0], means2d[..., 1], conics[..., 0],
+        conics[..., 1], conics[..., 2], opc, colp, radii, depths,
+        tile_size, tw, th, capacity=512, cull=True,
+    )
+    return int(probe.slab_required) + 1024, int(probe.slab_required)
+
+
+def _time_grad_step(step, step_args, iters):
+    """Compile + time. Varies one input per iteration: the remote execution
+    layer memoizes identical (executable, args) dispatches, which would fake
+    the timing (PERF.md measurement rules)."""
+    out = step(*step_args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(step_args[0] + np.float32(i + 1) * 1e-7, *step_args[1:])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     from gsplat_tpu import load_test_data, rasterization
 
@@ -63,30 +99,10 @@ def main():
     tile_size = 32
     isect_capacity = None
     if backend == "binned":
-        # Probe the exact slab budget once, then use a tight static
-        # capacity (out-of-jit capacity decision; the binned engine
-        # reports slab_required the same way isect_tiles reports
-        # n_isects).
-        from gsplat_tpu.ops.binning import bin_gaussians
-        from gsplat_tpu.ops.projection import fully_fused_projection
-
-        radii, means2d, depths, conics, _ = jax.jit(
-            lambda m, q, s: fully_fused_projection(
-                m, q, s, args[5], args[6], width, height
-            )
-        )(args[0], args[1], args[2])
-        tw, th = -(-width // tile_size), -(-height // tile_size)
-        C_ = viewmats.shape[0]
-        N_ = args[0].shape[0]
-        opc = jnp.broadcast_to(args[3][None], (C_, N_))
-        colp = jnp.broadcast_to(args[4][None], (C_, N_, 3))
-        probe = bin_gaussians(
-            means2d[..., 0], means2d[..., 1], conics[..., 0],
-            conics[..., 1], conics[..., 2], opc, colp, radii, depths,
-            tile_size, tw, th, capacity=512, cull=True,
+        isect_capacity, slab = _probe_capacity(
+            args[:5], args[5], args[6], width, height, tile_size
         )
-        isect_capacity = int(probe.slab_required) + 1024
-        print(f"n_gaussians={N_} slab_required={int(probe.slab_required)} "
+        print(f"n_gaussians={args[0].shape[0]} slab_required={slab} "
               f"capacity={isect_capacity}", file=sys.stderr)
 
     def loss_fn(means, quats, scales, opacities, colors, viewmats, Ks):
@@ -98,17 +114,7 @@ def main():
         return jnp.sum(render) + jnp.sum(alphas)
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-    out = step(*args)
-    jax.block_until_ready(out)
-
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        # vary one input per iteration: the remote execution layer memoizes
-        # identical (executable, args) dispatches, which would fake the timing
-        out = step(args[0] + np.float32(i + 1) * 1e-7, *args[1:])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = _time_grad_step(step, args, iters=10)
 
     pixels_per_s = C * width * height / dt
     print(
@@ -138,8 +144,6 @@ def main():
 
 def _bench_batched(args, width, height, tile_size, C):
     from gsplat_tpu import rasterization
-    from gsplat_tpu.ops.binning import bin_gaussians
-    from gsplat_tpu.ops.projection import fully_fused_projection
 
     vm = np.tile(np.asarray(args[5][:1]), (C, 1, 1))
     for c in range(1, C):  # distinct nearby views, like a training batch
@@ -148,23 +152,9 @@ def _bench_batched(args, width, height, tile_size, C):
     vm = jnp.asarray(vm)
     Ks = jnp.tile(jnp.asarray(args[6][:1]), (C, 1, 1))
 
-    radii, means2d, depths, conics, _ = jax.jit(
-        lambda m, q, s: fully_fused_projection(
-            m, q, s, vm, Ks, width, height
-        )
-    )(args[0], args[1], args[2])
-    tw, th = -(-width // tile_size), -(-height // tile_size)
-    N_ = args[0].shape[0]
-    opc = jnp.broadcast_to(args[3][None], (C, N_))
-    colp = jnp.broadcast_to(args[4][None], (C, N_, 3))
-    probe = bin_gaussians(
-        means2d[..., 0], means2d[..., 1], conics[..., 0],
-        conics[..., 1], conics[..., 2], opc, colp, radii, depths,
-        tile_size, tw, th, capacity=512, cull=True,
-    )
-    cap = int(probe.slab_required) + 1024
+    cap, _ = _probe_capacity(args[:5], vm, Ks, width, height, tile_size)
 
-    def loss_fn(means, quats, scales, opacities, colors):
+    def loss_fn(means, quats, scales, opacities, colors, vm, Ks):
         render, alphas, _ = rasterization(
             means, quats, scales, opacities, colors, vm, Ks,
             width, height, backend="binned", isect_capacity=cap,
@@ -173,14 +163,7 @@ def _bench_batched(args, width, height, tile_size, C):
         return jnp.sum(render) + jnp.sum(alphas)
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-    out = step(*args[:5])
-    jax.block_until_ready(out)
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = step(args[0] + np.float32(i + 1) * 1e-7, *args[1:5])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = _time_grad_step(step, args[:5] + (vm, Ks), iters=5)
     print(
         f"side report C={C}: {C * width * height / dt:.3e} pixels/s "
         f"fwd+bwd ({dt*1e3:.1f} ms/step, capacity={cap})",

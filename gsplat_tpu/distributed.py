@@ -224,7 +224,9 @@ def rasterization_distributed(
     # render/alphas camera-sharded; radii stay owner-side (N-sharded) so the
     # caller gets true per-Gaussian visibility for SelectiveAdam and
     # densification stats (the reference's info["radii"],
-    # gsplat/rendering.py:353-365); n_isects/slab_required are per-shard.
+    # gsplat/rendering.py:353-365); n_isects/slab_required are per-shard
+    # [1] values concatenated to [n_shards] by the P(axis) out_spec
+    # (lax.pmax/psum in-shard would be cleaner but has no autodiff rule).
     out_specs = (P(axis), P(axis), P(None, axis), P(axis), P(axis))
 
     def a2a(x):
@@ -334,6 +336,7 @@ def rasterization_distributed(
         "n_isects": n_isects,
         # max per-shard slab/entry budget: feed back into isect_capacity
         "slab_required": jnp.max(slab),
+        "isect_capacity": isect_capacity,  # truncation-detect signal
     }
     return render, alphas, meta
 
@@ -537,6 +540,7 @@ def rasterization_distributed_packed(
         "radii": radii,
         "n_isects": n_isects,
         "slab_required": jnp.max(slab),
+        "isect_capacity": isect_capacity,  # truncation-detect signal
         # max owner-side visible count per camera across shards: feed back
         # into pack_capacity out-of-jit (the truncation signal)
         "pack_required": jnp.max(pack_required),
@@ -820,6 +824,7 @@ def rasterization_2dgs_distributed(
         "radii": radii,
         "n_isects": n_isects,
         "slab_required": jnp.max(slab),
+        "isect_capacity": isect_capacity,  # truncation-detect signal
     }
     return (
         render_colors,
@@ -1023,6 +1028,7 @@ def rasterization_2dgs_distributed_packed(
         "radii": radii,
         "n_isects": n_isects,
         "slab_required": jnp.max(slab),
+        "isect_capacity": isect_capacity,  # truncation-detect signal
         "pack_required": jnp.max(pack_required),
     }
     return (

@@ -55,8 +55,11 @@ def resolve_auto_backend(
     scale the oracle's [C, N, H, W] working set would OOM, so the tiled
     pipeline runs instead with a derived intersection budget — generous
     (16 per (camera, gaussian), >= 2^20) and growable out-of-jit via the
-    returned ``n_isects``. Explicit ``backend=`` choices pass through
-    untouched.
+    returned ``n_isects``. Callers must surface the resolved capacity as
+    ``meta["isect_capacity"]`` so users can detect truncation
+    (``n_isects``/``slab_required`` reaching it) — without that signal an
+    overflow would silently drop splats from the render. Explicit
+    ``backend=`` choices pass through untouched.
     """
     if backend != "auto":
         return backend, isect_capacity

@@ -70,6 +70,7 @@ def _fwd_kernel(
     Tt_ref,  # [P, 1] f32 scratch: running per-pixel transmittance
     Tov_ref,  # [P, LANES] f32 scratch: lane-wise T_out carry
     lv_ref,  # [P, LANES] i32 scratch: lane-wise last carry
+    acc_ref,  # [Dp, P] f32 scratch: per-batch color accumulator (slice_skip)
     done_ref,  # [1] i32 SMEM scratch: whole-tile saturation flag
     *,
     K: int,
@@ -230,6 +231,10 @@ def _fwd_kernel(
                 # load+store), weighed against ~KF/2 dead trailing lanes per
                 # tile at KF=512 — an on-device A/B decision
                 # (GSPLAT_SLICE_SKIP).
+                # per-batch accumulator ref keeps the summation order
+                # identical to the default path (acc summed across slices,
+                # added to accum_ref once per batch) -> bit-identical
+                acc_ref[...] = jnp.zeros_like(acc_ref)
                 for s in range(NS):
                     @pl.when(astart + b * K + s * LANES < off + n)
                     def _sl(s=s):
@@ -237,10 +242,11 @@ def _fwd_kernel(
                             eb[:, s * LANES : (s + 1) * LANES], s,
                             Tt_ref[...], Tov_ref[...], lv_ref[...],
                         )
-                        accum_ref[0] += contrib
+                        acc_ref[...] += contrib
                         Tt_ref[...] = T_test
                         Tov_ref[...] = T_out_v
                         lv_ref[...] = last_v
+                accum_ref[0] += acc_ref[...]
             else:
                 T_test = Tt_ref[...]
                 T_out_v = Tov_ref[...]
@@ -646,6 +652,7 @@ def _fwd_call(cfg, entries, offs, cnts):
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, LANES), jnp.float32),
             pltpu.VMEM((P, LANES), jnp.int32),
+            pltpu.VMEM((Dp, P), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )

@@ -282,6 +282,11 @@ def rasterization(
                 "tile_height": tile_height,
                 "n_isects": aux_out["n_isects"],
                 "slab_required": aux_out["slab_required"],
+                # the static budget actually used (possibly derived by the
+                # auto fallback): compare slab_required against it out-of-jit
+                # to detect truncation and grow — without this an auto->tiled
+                # caller could never see that splats were silently dropped
+                "isect_capacity": isect_capacity,
             }
         )
     elif backend == "tiled":
@@ -298,6 +303,9 @@ def rasterization(
                 "tile_width": tile_width,
                 "tile_height": tile_height,
                 "n_isects": isect.n_isects,
+                # n_isects > isect_capacity means isect_tiles truncated:
+                # re-render with a larger explicit capacity (growth loop)
+                "isect_capacity": isect_capacity,
             }
         )
 
@@ -512,6 +520,7 @@ def rasterization_2dgs(
         )
         meta["n_isects"] = aux["n_isects"]
         meta["slab_required"] = aux["slab_required"]
+        meta["isect_capacity"] = isect_capacity  # truncation-detect signal
     elif backend == "tiled":
         from .ops.rasterize_2dgs_tiled import rasterize_to_pixels_2dgs_tiled
 
@@ -522,6 +531,7 @@ def rasterization_2dgs(
             capacity=isect_capacity,
         )
         meta["n_isects"] = isect.n_isects
+        meta["isect_capacity"] = isect_capacity  # truncation-detect signal
         (
             render_colors, render_alphas, render_normals, render_distort,
             render_median,

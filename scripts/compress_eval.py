@@ -51,7 +51,11 @@ def main():
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--out-csv", required=True)
     ap.add_argument("--data-factor", type=int, default=1)
-    ap.add_argument("--white-bkgd", action="store_true", default=True)
+    # BooleanOptionalAction so --no-white-bkgd works for checkpoints
+    # trained on black backgrounds (store_true + default=True was a no-op)
+    ap.add_argument(
+        "--white-bkgd", action=argparse.BooleanOptionalAction, default=True
+    )
     args = ap.parse_args()
 
     from gsplat_tpu.compression import PngCompression
@@ -79,6 +83,11 @@ def main():
         ("serpentine+plas", dict(use_sort=True, plas=True)),
     ]
     base_psnr = runner.eval(step)  # uncompressed reference point
+    src = os.path.join(cfg.result_dir, f"val_step{step}.json")
+    if os.path.exists(src):
+        os.replace(
+            src, os.path.join(cfg.result_dir, f"val_step{step}_uncompressed.json")
+        )
     for name, kw in variants:
         comp = PngCompression(**kw)
         cdir = os.path.join(cfg.result_dir, f"compression_{name}")
@@ -99,6 +108,13 @@ def main():
         stats = runner.eval(step)
         runner.params.update(saved)
         runner.live = saved_live
+        # eval() writes val_step{step}.json into result_dir; keep each
+        # variant's raw evidence instead of letting the next run clobber it
+        src = os.path.join(cfg.result_dir, f"val_step{step}.json")
+        if os.path.exists(src):
+            os.replace(
+                src, os.path.join(cfg.result_dir, f"val_step{step}_{name}.json")
+            )
         rows.append({
             "variant": name, "n_gaussians": n, "bytes": int(size),
             "psnr": round(float(stats["psnr"]), 4),

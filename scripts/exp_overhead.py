@@ -69,20 +69,40 @@ def loss_full(means, quats, scales, opacities, colors):
 step_full = jax.jit(jax.grad(loss_full, argnums=(0, 1, 2, 3, 4)))
 t_full = timeit("full", step_full, args[0], args[1:])
 
-# 2) raster-only step over pre-projected SoA rows ([C, N] each; no [.., 3])
+# 2) raster-only step over pre-projected SoA rows. ALL big arrays ride as
+# args (radii/depths too — a closed-over device array is a baked constant
+# that re-stages through the tunnel per dispatch, CLAUDE.md rule), and the
+# colors arrive pre-materialized as [C, N, 3] with grad taken w.r.t. that
+# array directly — same producer/cotangent shapes as the full bench step.
 mx, my = means2d[..., 0], means2d[..., 1]
 ca, cb, cc = conics[..., 0], conics[..., 1], conics[..., 2]
+cols_m = jnp.asarray(np.asarray(cols))  # materialized [C, N, 3] input
+
+def loss_raster(mx, my, ca, cb, cc, op, cols3, radii, depths):
+    r, a, _ = rasterize_to_pixels_binned(
+        (mx, my), (ca, cb, cc), cols3, op, radii, depths,
+        width, height, ts, capacity=cap, cull=True)
+    return jnp.sum(r) + jnp.sum(a)
+
+step_raster = jax.jit(jax.grad(loss_raster, argnums=tuple(range(7))))
+t_raster = timeit(
+    "raster", step_raster, mx, (my, ca, cb, cc, opc, cols_m, radii, depths))
+
+# 2b) same but the colors are stacked from three [C, N] rows INSIDE the
+# jitted fn — isolates the cost of one [C, N, 3] materialization + its
+# split-VJP cotangent at bench scale (the 57x-padding rule, on-device).
 crows = tuple(cols[..., d] for d in range(3))
 
-def loss_raster(mx, my, ca, cb, cc, op, c0, c1, c2):
+def loss_raster_stack(mx, my, ca, cb, cc, op, c0, c1, c2, radii, depths):
     cols3 = jnp.stack([c0, c1, c2], axis=-1)
     r, a, _ = rasterize_to_pixels_binned(
         (mx, my), (ca, cb, cc), cols3, op, radii, depths,
         width, height, ts, capacity=cap, cull=True)
     return jnp.sum(r) + jnp.sum(a)
 
-step_raster = jax.jit(jax.grad(loss_raster, argnums=tuple(range(9))))
-t_raster = timeit("raster", step_raster, mx, (my, ca, cb, cc, opc) + crows)
+step_rstack = jax.jit(jax.grad(loss_raster_stack, argnums=tuple(range(9))))
+t_rstack = timeit(
+    "rasterstk", step_rstack, mx, (my, ca, cb, cc, opc) + crows + (radii, depths))
 
 # 3) projection-only step (raw [N,3]/[N,4] params -> SoA outputs)
 def loss_proj(means, quats, scales):
@@ -94,4 +114,5 @@ step_proj = jax.jit(jax.grad(loss_proj, argnums=(0, 1, 2)))
 t_proj = timeit("proj", step_proj, args[0], args[1:3])
 
 print(f"overhead full-raster: {t_full - t_raster:.1f} ms "
-      f"(proj-only accounts for {t_proj:.1f} ms)", flush=True)
+      f"(proj-only accounts for {t_proj:.1f} ms; "
+      f"in-jit [C,N,3] stack costs {t_rstack - t_raster:.1f} ms)", flush=True)

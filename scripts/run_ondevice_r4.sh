@@ -22,7 +22,8 @@ stage() {
     touch "$LOGDIR/$name.ok"
     echo "$(date) $name OK" | tee -a "$LOGDIR/queue.log"
   else
-    echo "$(date) $name FAILED (rc=$?)" | tee -a "$LOGDIR/queue.log"
+    rc=$?  # must be captured before any command substitution resets $?
+    echo "$(date) $name FAILED (rc=$rc)" | tee -a "$LOGDIR/queue.log"
   fi
   tail -5 "$LOGDIR/$name.log" | tee -a "$LOGDIR/queue.log"
 }

@@ -15,7 +15,8 @@ stage() {
     touch "$LOGDIR/$name.ok"
     echo "$(date) $name OK" | tee -a "$LOGDIR/queue.log"
   else
-    echo "$(date) $name FAILED (rc=$?)" | tee -a "$LOGDIR/queue.log"
+    rc=$?  # must be captured before any command substitution resets $?
+    echo "$(date) $name FAILED (rc=$rc)" | tee -a "$LOGDIR/queue.log"
   fi
   tail -5 "$LOGDIR/$name.log" | tee -a "$LOGDIR/queue.log"
 }
@@ -29,7 +30,7 @@ stage bench2d_ts16    python scripts/check_2dgs_binned_tpu.py bench
 # expected-possible and non-fatal; parity first so a fit is trustworthy)
 stage ts48_exact_kf128 env TS=48 GSPLAT_KF=128 GSPLAT_KB=128 python scripts/check_binned_tpu.py parity bench
 stage ts48_exact_kf256 env TS=48 GSPLAT_KF=256 GSPLAT_KB=128 python scripts/check_binned_tpu.py bench
-stage ts48_exact_ts32kb env TS=48 GSPLAT_KF=256 GSPLAT_KB=256 python scripts/check_binned_tpu.py bench
+stage ts48_exact_kf256_kb256 env TS=48 GSPLAT_KF=256 GSPLAT_KB=256 python scripts/check_binned_tpu.py bench
 stage ts64_exact_kf128 env TS=64 GSPLAT_KF=128 GSPLAT_KB=128 python scripts/check_binned_tpu.py bench
 
 echo "$(date) R4B QUEUE DONE" | tee -a "$LOGDIR/queue.log"

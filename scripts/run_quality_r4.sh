@@ -23,7 +23,8 @@ persist() {
   # suite (chain wrapper) never loses completed milestones
   for name in default30k mcmc30k absgrad30k; do
     for f in "$OUT/$name"/val_step*.json "$OUT/$name"/stats.jsonl \
-             "$OUT/$name"/compression_*/report.json; do
+             "$OUT/$name"/compression_*/report.json \
+             "$OUT/$name"/compress_eval/val_step*.json; do
       [ -f "$f" ] || continue
       rel=${f#"$OUT/"}
       mkdir -p "$RES/$(dirname "$rel")"

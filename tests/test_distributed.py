@@ -383,6 +383,121 @@ def test_distributed_packed_truncation_signal(rng, mesh):
     assert int(m["pack_required"]) > 4
 
 
+def _sparse_visibility_scene(rng, n_local_visible=6, N=128, C=8, W=32, H=32):
+    """Scene where each contiguous 16-gaussian shard block has only
+    ``n_local_visible`` gaussians inside the frustum (the rest sit behind
+    the cameras at z=-10 -> radii 0). With pack_capacity between
+    n_local_visible and n_local the packed exchange performs a REAL
+    compaction — dropping invalid slots, not just permuting — which is the
+    path a slot_ok off-by-one or wrong radii zeroing would corrupt."""
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = _scene(
+        rng, N=N, C=C, W=W, H=H
+    )
+    n_local = N // 8
+    hidden = (np.arange(N) % n_local) >= n_local_visible
+    means[hidden, 2] = -10.0  # behind every camera (cam z offset is +4)
+    return means, quats, scales, opac, colors, viewmats, Ks, W, H
+
+
+def test_distributed_packed_real_compaction_values_and_grads(rng, mesh):
+    """pack_capacity=8 < n_local=16 with <=6 visible per (camera, shard):
+    the sort+slice genuinely truncates dead slots yet the render and grads
+    must still match the single-device dense path exactly (review finding:
+    the other packed tests use cap == n_local, a pure permutation)."""
+    from gsplat_tpu.distributed import rasterization_distributed_packed
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = (
+        _sparse_visibility_scene(rng)
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+    bg = jnp.asarray(rng.random((viewmats.shape[0], 3)).astype(np.float32))
+
+    r0, a0, m0 = rasterization(*args, vm, K, W, H, backgrounds=bg)
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    r1, a1, m1 = jax.jit(
+        lambda *a: rasterization_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=8, backgrounds=bg
+        )
+    )(*sharded)
+    # capacity 8 is sufficient for the visible set but below n_local: the
+    # packed buffers are genuinely truncated relative to the dense exchange
+    assert 1 <= int(m1["pack_required"]) <= 8
+    np.testing.assert_allclose(r0, r1, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(m1["radii"]), np.asarray(m0["radii"])
+    )
+
+    wr = jnp.asarray(
+        rng.standard_normal((viewmats.shape[0], H, W, 3)).astype(np.float32)
+    )
+
+    def loss_single(*a):
+        r, al, _ = rasterization(*a, vm, K, W, H)
+        return jnp.sum(r * wr) + jnp.sum(al)
+
+    def loss_packed(*a):
+        r, al, _ = rasterization_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=8
+        )
+        return jnp.sum(r * wr) + jnp.sum(al)
+
+    g0 = jax.grad(loss_single, argnums=(0, 1, 2, 3, 4))(*args)
+    g1 = jax.jit(jax.grad(loss_packed, argnums=(0, 1, 2, 3, 4)))(*sharded)
+    for n, x, y in zip(["means", "quats", "scales", "opac", "colors"], g0, g1):
+        s = max(float(jnp.abs(x).max()), 1.0)
+        np.testing.assert_allclose(
+            x, y, atol=2e-4 * s, rtol=2e-4, err_msg=f"grad {n}"
+        )
+
+
+def test_distributed_2dgs_packed_real_compaction(rng, mesh):
+    """Same real-compaction coverage for the 2DGS packed surfel exchange.
+
+    The control is the DENSE distributed path: it runs the identical
+    per-shard projection/exchange/raster math, so dropping only radii==0
+    surfels must be (near-)exact — unlike single-device, which differs by
+    f32 reassociation flips that the ED/distort channels amplify at
+    near-empty pixels."""
+    from gsplat_tpu.distributed import (
+        rasterization_2dgs_distributed,
+        rasterization_2dgs_distributed_packed,
+    )
+
+    means, quats, scales, opac, colors, viewmats, Ks, W, H = (
+        _sparse_visibility_scene(rng)
+    )
+    args = tuple(jnp.asarray(x) for x in (means, quats, scales, opac, colors))
+    vm, K = jnp.asarray(viewmats), jnp.asarray(Ks)
+
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("gauss"))) for a in args
+    )
+    r0, a0, n0, _, d0, md0, m0 = jax.jit(
+        lambda *a: rasterization_2dgs_distributed(
+            *a, vm, K, W, H, mesh=mesh, render_mode="RGB+ED", distloss=True,
+        )
+    )(*sharded)
+    r1, a1, n1, _, d1, md1, m1 = jax.jit(
+        lambda *a: rasterization_2dgs_distributed_packed(
+            *a, vm, K, W, H, mesh=mesh, pack_capacity=8,
+            render_mode="RGB+ED", distloss=True,
+        )
+    )(*sharded)
+    assert 1 <= int(m1["pack_required"]) <= 8
+    np.testing.assert_allclose(r0, r1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(a0, a1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(n0, n1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(d0, d1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(md0, md1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(m1["radii"]), np.asarray(m0["radii"])
+    )
+
+
 def test_distributed_multi_camera_per_device(rng, mesh):
     """C=16 cameras on the 8-device mesh (2 per shard): the exchange's
     camera-split all_to_all and per-shard rasterization handle any

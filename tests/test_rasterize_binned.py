@@ -321,12 +321,23 @@ def test_full_slab_boundary_reads(rng):
         )
 
 
-def test_binned_slice_skip_matches_exact(rng):
+@pytest.mark.parametrize("dense", [False, True], ids=["sparse", "multibatch"])
+def test_binned_slice_skip_matches_exact(rng, dense):
     """slice_skip=True (runtime skip of fully-dead trailing lane slices,
     GSPLAT_SLICE_SKIP) must be bit-identical to the default path, values
-    AND gradients — the skipped slices hold only colmask-invalid lanes."""
+    AND gradients — the skipped slices hold only colmask-invalid lanes and
+    the skip path replays the default path's per-batch summation order.
+    ``dense`` packs >512 entries into single tiles so multiple KF batches
+    run per tile (the case where a per-slice accum order would diverge)."""
     C, W, H, ts, D = 2, 64, 48, 16, 3
     radii, means2d, depths, conics, colors, opac = _scene(rng, C=C, W=W, H=H, D=D)
+    if dense:
+        # cluster all gaussians onto one tile: per-tile entry counts far
+        # exceed KF=512, forcing the multi-batch accumulation path
+        means2d = jnp.stack(
+            [jnp.clip(means2d[..., 0] % 14 + 1, 1, 15),
+             jnp.clip(means2d[..., 1] % 14 + 1, 1, 15)], axis=-1
+        )
     bg = jnp.asarray(rng.random((C, D)).astype(np.float32))
 
     def run(ss):

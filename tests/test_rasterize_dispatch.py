@@ -163,4 +163,8 @@ def test_auto_backend_large_scene_avoids_oracle():
     )(*map(jnp.asarray, (means, quats, scales, opac, colors, viewmats, Ks)))
     assert "n_isects" in meta  # tiled path, not the oracle
     assert np.isfinite(np.asarray(render)).all()
-    assert int(meta["n_isects"]) <= 16 * C * N  # within the derived budget
+    # the derived budget itself must be visible so a caller can detect
+    # truncation (n_isects == capacity <=> isect_tiles may have dropped
+    # splats) and re-render with a larger explicit capacity
+    assert meta["isect_capacity"] == max(1 << 20, 16 * C * N)
+    assert int(meta["n_isects"]) < meta["isect_capacity"]

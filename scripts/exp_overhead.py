@@ -116,3 +116,28 @@ t_proj = timeit("proj", step_proj, args[0], args[1:3])
 print(f"overhead full-raster: {t_full - t_raster:.1f} ms "
       f"(proj-only accounts for {t_proj:.1f} ms; "
       f"in-jit [C,N,3] stack costs {t_rstack - t_raster:.1f} ms)", flush=True)
+
+
+# 4) full step with every parameter crossing the jit boundary as SoA rows
+# ([N] components assembled in-jit): isolates the boundary-layout cost of
+# [N,3]/[N,4]-shaped inputs + grad cotangents in the official bench step.
+mrows = tuple(args[0][:, d] for d in range(3))
+qrows = tuple(args[1][:, d] for d in range(4))
+srows = tuple(args[2][:, d] for d in range(3))
+colrows = tuple(args[4][:, d] for d in range(3))
+
+def loss_full_soa(m0, m1, m2, q0, q1, q2, q3, s0, s1, s2, op, c0, c1, c2):
+    means = jnp.stack([m0, m1, m2], axis=-1)
+    quats = jnp.stack([q0, q1, q2, q3], axis=-1)
+    scales = jnp.stack([s0, s1, s2], axis=-1)
+    colors = jnp.stack([c0, c1, c2], axis=-1)
+    render, alphas, _ = rasterization(
+        means, quats, scales, op, colors, vm, K, width, height,
+        backend="binned", isect_capacity=cap, tile_size=ts)
+    return jnp.sum(render) + jnp.sum(alphas)
+
+step_soa = jax.jit(jax.grad(loss_full_soa, argnums=tuple(range(14))))
+t_soa = timeit("full_soa", step_soa, mrows[0],
+               mrows[1:] + qrows + srows + (args[3],) + colrows)
+print(f"SoA-boundary full step: {t_soa:.1f} ms vs AoS full {t_full:.1f} ms",
+      flush=True)

@@ -9,6 +9,7 @@ backend reaches 171.8 fwd / 97.1 bwd FPS on a TITAN RTX -> combined
 """
 
 import json
+import os
 import sys
 import time
 
@@ -105,16 +106,47 @@ def main():
         print(f"n_gaussians={args[0].shape[0]} slab_required={slab} "
               f"capacity={isect_capacity}", file=sys.stderr)
 
-    def loss_fn(means, quats, scales, opacities, colors, viewmats, Ks):
-        render, alphas, _ = rasterization(
-            means, quats, scales, opacities, colors, viewmats, Ks,
-            width, height, backend=backend, isect_capacity=isect_capacity,
-            tile_size=tile_size,
-        )
-        return jnp.sum(render) + jnp.sum(alphas)
+    soa_boundary = os.environ.get("GSPLAT_BENCH_SOA") == "1"
+    if soa_boundary:
+        # Parameters cross the jit boundary as SoA rows ([N] components,
+        # the framework's native layout) and the [N,3]/[N,4] views the
+        # public API takes are assembled IN-jit — included in the measured
+        # time. A/B vs the default [N,3]-boundary step isolates the
+        # boundary-layout cost of [.., 3]-shaped inputs + grad cotangents
+        # (exp_overhead.py stage 4; PERF.md r4c).
+        def loss_soa(m0, m1, m2, q0, q1, q2, q3, s0, s1, s2, op, c0, c1, c2,
+                     viewmats, Ks):
+            means = jnp.stack([m0, m1, m2], axis=-1)
+            quats = jnp.stack([q0, q1, q2, q3], axis=-1)
+            scales = jnp.stack([s0, s1, s2], axis=-1)
+            colors = jnp.stack([c0, c1, c2], axis=-1)
+            render, alphas, _ = rasterization(
+                means, quats, scales, op, colors, viewmats, Ks,
+                width, height, backend=backend,
+                isect_capacity=isect_capacity, tile_size=tile_size,
+            )
+            return jnp.sum(render) + jnp.sum(alphas)
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-    dt = _time_grad_step(step, args, iters=10)
+        rows = (
+            tuple(args[0][:, d] for d in range(3))
+            + tuple(args[1][:, d] for d in range(4))
+            + tuple(args[2][:, d] for d in range(3))
+            + (args[3],)
+            + tuple(args[4][:, d] for d in range(3))
+        )
+        step = jax.jit(jax.grad(loss_soa, argnums=tuple(range(14))))
+        dt = _time_grad_step(step, rows + args[5:7], iters=10)
+    else:
+        def loss_fn(means, quats, scales, opacities, colors, viewmats, Ks):
+            render, alphas, _ = rasterization(
+                means, quats, scales, opacities, colors, viewmats, Ks,
+                width, height, backend=backend,
+                isect_capacity=isect_capacity, tile_size=tile_size,
+            )
+            return jnp.sum(render) + jnp.sum(alphas)
+
+        step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+        dt = _time_grad_step(step, args, iters=10)
 
     pixels_per_s = C * width * height / dt
     print(
@@ -122,7 +154,8 @@ def main():
             {
                 "metric": (
                     f"garden {width}x{height} grid{scene_grid} "
-                    f"rasterization fwd+bwd ({backend})"
+                    f"rasterization fwd+bwd ({backend}"
+                    f"{', soa-boundary' if soa_boundary else ''})"
                 ),
                 "value": pixels_per_s,
                 "unit": "pixels/s",

@@ -281,6 +281,15 @@ class Runner:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         os.makedirs(cfg.result_dir, exist_ok=True)
+        # dump the resolved config next to the results so every run is
+        # reproducible from its artifact dir (reference simple_trainer.py
+        # :516-518 dumps cfg to yaml; JSON here — stdlib only)
+        with open(os.path.join(cfg.result_dir, "cfg.json"), "w") as f:
+            json.dump(
+                {k: v for k, v in vars(cfg).items()
+                 if isinstance(v, (int, float, str, bool, list, type(None)))},
+                f, indent=1, default=str,
+            )
         self.parser = Parser(
             cfg.data_dir, factor=cfg.data_factor, normalize=True,
             test_every=cfg.test_every,

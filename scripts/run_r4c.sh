@@ -47,6 +47,10 @@ common=(--data-dir "$DATA" --data-factor 1 --white-bkgd
 # stage measured 291 ms alone and 1535 ms next to a pytest run)
 stage overhead3  timeout 2700 python scripts/exp_overhead.py
 stage scan_bench timeout 2700 python scripts/exp_scan_bench.py
+# same-session A/B: official bench step with [N,3]-boundary vs SoA-rows
+# boundary (decides whether bench/trainer should cross SoA rows)
+stage bench_aos  timeout 2700 python bench.py
+stage bench_soa  timeout 2700 env GSPLAT_BENCH_SOA=1 python bench.py
 
 # 2) finish mcmc30k from its newest checkpoint
 if [ ! -f "$OUT/mcmc30k/val_step30000.json" ]; then

@@ -6,6 +6,15 @@ Config matches the reference's kernel profile (1080p render, scene_grid 5,
 batch 1 — docs/source/tests/profile.rst:36-58). Baseline: reference CUDA
 backend reaches 171.8 fwd / 97.1 bwd FPS on a TITAN RTX -> combined
 1/(1/171.8 + 1/97.1) = 62.0 FPS = 1.286e8 pixels/s fwd+bwd.
+
+Methodology (r4c): the official metric is the STEADY-STATE frame time —
+lax.scan runs the full fwd+bwd frame back-to-back inside one dispatch with
+the input perturbed per step, the same on-device iteration timing the
+reference's profile uses (CUDA events, no per-frame host round-trip). The
+per-dispatch time (one jitted step per frame) is reported on stderr; on
+this image it additionally pays ~55 ms/frame of host->tunnel->device
+dispatch overhead that is an artifact of the remote-chip environment, not
+of the compute (PERF.md r4c overhead split).
 """
 
 import json
@@ -55,6 +64,37 @@ def _time_grad_step(step, step_args, iters):
         out = step(step_args[0] + np.float32(i + 1) * 1e-7, *step_args[1:])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def _time_scan_steady(grad_fn, grad_args, scan_n=10, reps=3):
+    """Steady-state frame time: ONE dispatch runs `scan_n` full fwd+bwd
+    frames under lax.scan, the first input perturbed per scan step so every
+    frame computes genuinely (no memoization, no loop-invariant hoisting of
+    the render pipeline). This matches the reference's methodology — its
+    171.8/97.1 FPS profile numbers are on-device iteration timings with no
+    per-frame host round-trip (docs/source/tests/profile.rst) — where the
+    per-dispatch loop above additionally pays the host->tunnel->device
+    dispatch path (~55 ms/frame measured on this image, PERF.md r4c)."""
+
+    @jax.jit
+    def scan_steps(base, *rest):
+        def body(carry, i):
+            g = grad_fn(rest[0] + (base + i.astype(jnp.float32)) * 1e-7,
+                        *rest[1:])
+            # scalar carry: full grad pytrees out of a scan would stack
+            # scan_n copies of every gradient
+            return carry + sum(jnp.sum(x) for x in g), 0
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(scan_n))
+        return out
+
+    out = scan_steps(jnp.float32(0), *grad_args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for r in range(reps):
+        out = scan_steps(jnp.float32((r + 1) * scan_n), *grad_args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (reps * scan_n)
 
 
 def main():
@@ -134,8 +174,9 @@ def main():
             + (args[3],)
             + tuple(args[4][:, d] for d in range(3))
         )
-        step = jax.jit(jax.grad(loss_soa, argnums=tuple(range(14))))
-        dt = _time_grad_step(step, rows + args[5:7], iters=10)
+        grad_fn = jax.grad(loss_soa, argnums=tuple(range(14)))
+        dt = _time_scan_steady(grad_fn, rows + args[5:7])
+        dt_dispatch = _time_grad_step(jax.jit(grad_fn), rows + args[5:7], 10)
     else:
         def loss_fn(means, quats, scales, opacities, colors, viewmats, Ks):
             render, alphas, _ = rasterization(
@@ -145,8 +186,17 @@ def main():
             )
             return jnp.sum(render) + jnp.sum(alphas)
 
-        step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-        dt = _time_grad_step(step, args, iters=10)
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))
+        # official metric: steady-state frame time (reference-comparable);
+        # per-dispatch time reported alongside on stderr
+        dt = _time_scan_steady(grad_fn, args)
+        dt_dispatch = _time_grad_step(jax.jit(grad_fn), args, iters=10)
+    print(
+        f"steady-state {dt*1e3:.1f} ms/frame; per-dispatch "
+        f"{dt_dispatch*1e3:.1f} ms/frame (tunnel overhead "
+        f"{(dt_dispatch-dt)*1e3:.1f} ms)",
+        file=sys.stderr,
+    )
 
     pixels_per_s = C * width * height / dt
     print(
@@ -154,7 +204,7 @@ def main():
             {
                 "metric": (
                     f"garden {width}x{height} grid{scene_grid} "
-                    f"rasterization fwd+bwd ({backend}"
+                    f"rasterization fwd+bwd steady-state ({backend}"
                     f"{', soa-boundary' if soa_boundary else ''})"
                 ),
                 "value": pixels_per_s,
@@ -195,11 +245,11 @@ def _bench_batched(args, width, height, tile_size, C):
         )
         return jnp.sum(render) + jnp.sum(alphas)
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-    dt = _time_grad_step(step, args[:5] + (vm, Ks), iters=5)
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))
+    dt = _time_scan_steady(grad_fn, args[:5] + (vm, Ks), scan_n=5, reps=2)
     print(
         f"side report C={C}: {C * width * height / dt:.3e} pixels/s "
-        f"fwd+bwd ({dt*1e3:.1f} ms/step, capacity={cap})",
+        f"fwd+bwd steady-state ({dt*1e3:.1f} ms/step, capacity={cap})",
         file=sys.stderr,
     )
 

@@ -17,13 +17,29 @@ mkdir -p "$OUT" "$RES"
 
 persist() {
   for f in "$OUT/default7k"/val_step*.json "$OUT/default7k"/stats.jsonl \
-           "$OUT/default7k"/cfg.json \
-           "$OUT/default7k"/compress_eval/val_step*.json; do
+           "$OUT/default7k"/cfg.json; do
     [ -f "$f" ] || continue
     mkdir -p "$RES/default7k"
     cp "$f" "$RES/default7k/"
   done
+  # compress_eval outputs go in their own subdir, and only the suffixed
+  # files: compress_eval.py transiently writes a bare val_step{step}.json
+  # before os.replace-ing it to val_step{step}_{variant}.json — a timeout
+  # between the two would leave a bare file that must not clobber the
+  # training run's persisted val_step{step}.json above.
+  for f in "$OUT/default7k"/compress_eval/val_step*_*.json; do
+    [ -f "$f" ] || continue
+    mkdir -p "$RES/default7k/compress_eval"
+    cp "$f" "$RES/default7k/compress_eval/"
+  done
 }
+
+# Milestones persist as soon as they exist: a background watcher copies
+# every ~60s so a mid-run kill or /tmp wipe (the failure mode this script
+# exists to survive) loses at most a minute of evidence.
+( while sleep 60; do persist; done ) &
+PERSIST_PID=$!
+trap 'kill "$PERSIST_PID" 2>/dev/null' EXIT
 
 timeout "${TRAIN_TIMEOUT:-1980}" python examples/simple_trainer.py default \
   --data-dir "$DATA" --data-factor 1 --white-bkgd --test-every 8 \

@@ -33,7 +33,13 @@ def _target(H, W):
     return img
 
 
-@pytest.mark.parametrize("backend", ["oracle", "tiled"])
+# measured 2026-08-19/20 (CPU, seed 42): oracle 24.60, tiled 26.95,
+# binned 26.95; floors sit ~1dB below measured per backend (VERDICT r4
+# weak item 5: a 3-6dB regression must not pass CI)
+FLOORS = {"oracle": 23.6, "tiled": 25.9, "binned": 25.9}
+
+
+@pytest.mark.parametrize("backend", ["oracle", "tiled", "binned"])
 def test_image_fit_psnr_floor(backend):
     H = W = 64
     N = 256
@@ -55,7 +61,7 @@ def test_image_fit_psnr_floor(backend):
         "opacities": jax.random.normal(k4, (N,)) * 0.1 + 1.0,
         "colors": jax.random.uniform(k5, (N, 3)),
     }
-    cap = 65536 if backend == "tiled" else None
+    cap = 65536 if backend in ("tiled", "binned") else None
 
     def loss_fn(p):
         render, _, _ = rasterization(
@@ -81,6 +87,8 @@ def test_image_fit_psnr_floor(backend):
     for _ in range(steps):
         loss, params, opt_state = step(params, opt_state)
     psnr = -10 * math.log10(float(loss))
-    # measured 2026-08-19 (CPU, seed 42): oracle 24.60, tiled 26.95;
-    # the floor sits ~3.5dB below the weaker backend
-    assert psnr > 21.0, f"quality regression: PSNR {psnr:.2f} after {steps} steps"
+    floor = FLOORS[backend]
+    assert psnr > floor, (
+        f"quality regression ({backend}): PSNR {psnr:.2f} < floor {floor} "
+        f"after {steps} steps"
+    )

@@ -23,8 +23,15 @@ emitter consumes). The same applies to the 2DGS surfel pipeline
 (:func:`rasterization_2dgs_distributed`), matching the reference's
 backend-agnostic distributed protocol (gsplat/rendering.py:413-494, 1018+).
 
-Constraints (same as the reference, rendering.py:305-306): the number of
-cameras must be divisible by the mesh axis size; per-Gaussian colors only.
+Camera/shard layouts: when ``C % n_shards == 0`` each shard rasterizes
+``C / n_shards`` whole cameras (the reference's only layout,
+rendering.py:305-306). When ``n_shards % C == 0`` (including the headline
+C=1 case the reference cannot scale at all) each camera's tile grid is
+split into ``n_shards / C`` horizontal strips of tile rows and every shard
+rasterizes one (camera, strip) — the SURVEY §7 "tile rows within a camera"
+design. Strips reuse the same binning engine on a shifted sub-image, and
+gradients flow back through the replicated exchange (the all-to-all
+transpose sums the per-strip contributions per Gaussian).
 
 There is no separate process-launcher module: multi-host JAX initializes via
 ``jax.distributed.initialize()`` and the mesh spans all hosts' devices — the
@@ -190,10 +197,28 @@ def rasterization_distributed(
     n_shards = mesh.shape[axis]
     C = viewmats.shape[0]
     N = means.shape[0]
-    assert C % n_shards == 0, (
-        f"#cameras ({C}) must be divisible by mesh axis '{axis}' ({n_shards}) "
-        "— same constraint as the reference (gsplat/rendering.py:305-306)"
-    )
+    if C % n_shards != 0:
+        if n_shards % C == 0:
+            # fewer cameras than shards: split each camera's tile grid into
+            # strips of tile rows so small batches (incl. C=1, the headline
+            # training config) still use the whole mesh
+            return _rasterization_distributed_strips(
+                means, quats, scales, opacities, colors, viewmats, Ks,
+                width, height, mesh, axis=axis, sh_degree=sh_degree,
+                near_plane=near_plane, far_plane=far_plane,
+                radius_clip=radius_clip, eps2d=eps2d, tile_size=tile_size,
+                backgrounds=backgrounds, render_mode=render_mode,
+                rasterize_mode=rasterize_mode, backend=backend,
+                isect_capacity=isect_capacity, masks=masks,
+                means2d_carrier=means2d_carrier,
+                per_camera_colors=per_camera_colors, absgrad=absgrad,
+                camera_model=camera_model,
+            )
+        raise ValueError(
+            f"#cameras ({C}) and mesh axis '{axis}' ({n_shards}) must divide "
+            "one another: C % n == 0 shards whole cameras, n % C == 0 shards "
+            "tile-row strips within each camera"
+        )
     backend, isect_capacity = resolve_auto_backend(
         backend, isect_capacity, C // n_shards, means.shape[0], width, height
     )
@@ -325,6 +350,18 @@ def rasterization_distributed(
             axis=-1,
         )
 
+    # static comm-volume accounting (VERDICT r4 item 9): rows crossing the
+    # ICI per device during the all-to-all. Dense exchange ships every
+    # (camera, gaussian) payload: 8 scalar rows + color channels (+2 abs).
+    D_base = 3 if sh_degree is not None else colors.shape[-1]
+    if render_mode in ("D", "ED"):
+        D_ex = 1
+    else:
+        D_ex = D_base + (1 if render_mode in ("RGB+D", "RGB+ED") else 0)
+    n_rows = 8 + D_ex + (2 if (means2d_carrier is not None and absgrad) else 0)
+    n_local = N // n_shards
+    a2a_bytes = n_rows * C * n_local * 4 * (n_shards - 1) // n_shards
+
     meta = {
         "width": width,
         "height": height,
@@ -332,11 +369,227 @@ def rasterization_distributed(
         # true per-Gaussian visibility, computed owner-side pre-exchange
         # ([C, N] with N sharded over `axis`)
         "radii": radii,
-        # per-shard intersection counts [n_shards]
+        # per-shard intersection counts [n_shards] — the rasterization
+        # load-balance signal (uniform shards => uniform counts)
         "n_isects": n_isects,
         # max per-shard slab/entry budget: feed back into isect_capacity
         "slab_required": jnp.max(slab),
         "isect_capacity": isect_capacity,  # truncation-detect signal
+        # bytes each device SENDS over the mesh axis in the forward
+        # exchange (the backward a2a transpose moves the same volume)
+        "a2a_bytes_per_device": a2a_bytes,
+    }
+    return render, alphas, meta
+
+
+def _rasterization_distributed_strips(
+    means, quats, scales, opacities, colors, viewmats, Ks,
+    width, height, mesh, axis, sh_degree, near_plane, far_plane,
+    radius_clip, eps2d, tile_size, backgrounds, render_mode,
+    rasterize_mode, backend, isect_capacity, masks, means2d_carrier,
+    per_camera_colors, absgrad, camera_model,
+):
+    """Tile-row-strip distributed rasterization for C < n_shards.
+
+    Layout: shard ``s`` rasterizes strip ``s % G`` of camera ``s // G``
+    where ``G = n_shards / C`` — each camera's tile grid is cut into G
+    horizontal strips of ``ceil(th / G)`` tile rows. Projection stays
+    Gaussian-sharded; the exchange replicates each camera's payload rows
+    G times along the camera axis so ONE tiled all-to-all delivers every
+    gaussian of camera c to each of its G strip shards (same wire volume
+    per device as an all-gather of the rows). Each shard then shifts the
+    projected y means into strip-local pixel coordinates and runs the
+    unmodified rasterizer on a ``[strip_rows * ts, width]`` sub-image —
+    binning, kernels and capacity feedback all work per-strip because the
+    engine is already per-tile. The strip outputs concatenate along the
+    row axis (out_spec on dim 1) and reshape to [C, H_pad, W, D] outside
+    the shard_map; gradients flow through the replicated exchange, whose
+    transpose sums the G strips' per-Gaussian contributions.
+
+    This is the SURVEY §7 "tile rows within a camera" design the
+    reference cannot express (its exchange is whole-camera only,
+    gsplat/rendering.py:305-306,464-494).
+    """
+    n_shards = mesh.shape[axis]
+    C = viewmats.shape[0]
+    N = means.shape[0]
+    G = n_shards // C
+    assert C * G == n_shards
+    ts = tile_size
+    th = -(-height // ts)
+    strip_rows = -(-th // G)
+    strip_h = strip_rows * ts  # strip sub-image height (static)
+
+    backend, isect_capacity = resolve_auto_backend(
+        backend, isect_capacity, 1, N, width, strip_h
+    )
+    backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
+
+    if per_camera_colors:
+        assert sh_degree is None
+        color_spec = P(None, axis, None)
+    elif sh_degree is not None:
+        color_spec = P(axis, None, None)
+    else:
+        color_spec = P(axis, None)
+    extra_specs = ()
+    if masks is not None:
+        extra_specs = extra_specs + (P(axis),)
+    if means2d_carrier is not None:
+        extra_specs = extra_specs + (P(None, axis, None),)
+
+    in_specs = (
+        P(axis, None), P(axis, None), P(axis, None), P(axis), color_spec,
+        P(), P(),
+    ) + extra_specs
+    # render/alphas are strip images concatenated along dim 1 (rows);
+    # radii stay owner-side (N-sharded, dim 1); n_isects/slab per-shard
+    out_specs = (P(None, axis), P(None, axis), P(None, axis), P(axis), P(axis))
+
+    def a2a_rep(x):
+        # [C, n_local, ...] -> replicate each camera G times -> [S, n_local]
+        # -> all_to_all -> [1, n_local * S, ...] = every gaussian of this
+        # shard's camera. broadcast_to+reshape (not repeat) keeps it a
+        # zero-gather relayout; the a2a transpose under autodiff sums the
+        # G strip cotangents back onto the owner shard.
+        xr = jnp.broadcast_to(
+            x[:, None], (C, G) + x.shape[1:]
+        ).reshape((n_shards,) + x.shape[1:])
+        return lax.all_to_all(xr, axis, split_axis=0, concat_axis=1, tiled=True)
+
+    def _render(means, quats, scales, opacities, colors, viewmats, Ks, *rest):
+        rest = list(rest)
+        live = rest.pop(0) if masks is not None else None
+        carrier = rest.pop(0) if means2d_carrier is not None else None
+        proj = fully_fused_projection_soa(
+            means, quats, scales, viewmats, Ks, width, height,
+            eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip,
+            calc_compensations=(rasterize_mode == "antialiased"),
+            camera_model=camera_model,
+        )
+        radii = proj["radii"]
+        if live is not None:
+            radii = jnp.where(live[None, :], radii, 0)
+        if carrier is not None and not absgrad:
+            proj = dict(proj)
+            proj["mean_x"] = proj["mean_x"] + carrier[..., 0]
+            proj["mean_y"] = proj["mean_y"] + carrier[..., 1]
+        n_local = means.shape[0]
+
+        if per_camera_colors:
+            colors_cn = colors
+        elif sh_degree is None:
+            colors_cn = jnp.broadcast_to(
+                colors[None], (C, n_local, colors.shape[-1])
+            )
+        else:
+            camtoworlds = jnp.linalg.inv(viewmats)
+            dirs = means[None, :, :] - camtoworlds[:, None, :3, 3]
+            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
+            colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
+
+        if render_mode in ("RGB+D", "RGB+ED"):
+            colors_cn = jnp.concatenate(
+                [colors_cn, proj["depth"][..., None]], axis=-1
+            )
+        elif render_mode in ("D", "ED"):
+            colors_cn = proj["depth"][..., None]
+
+        opac_cn = jnp.broadcast_to(opacities[None, :], (C, n_local))
+        if "compensation" in proj:
+            opac_cn = opac_cn * proj["compensation"]
+
+        # exchange: each (camera, strip) shard receives the camera's FULL
+        # gaussian payload [1, N]
+        mean_x = a2a_rep(proj["mean_x"])
+        mean_y = a2a_rep(proj["mean_y"])
+        depth = a2a_rep(proj["depth"])
+        con_a = a2a_rep(proj["conic_a"])
+        con_b = a2a_rep(proj["conic_b"])
+        con_c = a2a_rep(proj["conic_c"])
+        radii_g = a2a_rep(radii)
+        opac_g = a2a_rep(opac_cn)
+        cols_g = a2a_rep(colors_cn)
+        abs_c = None
+        if carrier is not None and absgrad:
+            abs_c = (a2a_rep(carrier[..., 0]), a2a_rep(carrier[..., 1]))
+
+        # strip-local pixel frame: shift y by the strip's row offset and
+        # rasterize a [strip_h, width] sub-image. Gaussians outside the
+        # strip clip to empty tile rects in the emitter (zero entries) —
+        # no explicit mask needed, and the per-strip n_isects/slab
+        # feedback doubles as the load-balance signal.
+        idx = lax.axis_index(axis)
+        g = jnp.remainder(idx, G)
+        y_off = (g * strip_h).astype(jnp.float32)
+        mean_y = mean_y - y_off
+
+        bg = None
+        if backgrounds is not None:
+            cam = idx // G
+            bg = lax.dynamic_slice_in_dim(backgrounds, cam, 1, axis=0)
+
+        render, alphas, n_isects, slab = _raster_rows(
+            backend, mean_x, mean_y, depth, con_a, con_b, con_c,
+            radii_g, opac_g, cols_g, width, strip_h, tile_size,
+            isect_capacity, bg, abs_c,
+        )
+        # [1, strip_h, W, D] per shard; drop the camera dim so the global
+        # concat runs along rows (dim 1 of the [1, strip_h, ...] value)
+        return (
+            render, alphas, jax.lax.stop_gradient(radii),
+            n_isects[None], slab[None],
+        )
+
+    fn = shard_map(_render, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    args = (means, quats, scales, opacities, colors, viewmats, Ks)
+    if masks is not None:
+        args = args + (masks,)
+    if means2d_carrier is not None:
+        args = args + (means2d_carrier,)
+    render, alphas, radii, n_isects, slab = fn(*args)
+
+    # [1, S*strip_h, W, D] in (camera-major strip) order -> [C, H_pad, ...]
+    def assemble(x):
+        x = x.reshape((C, G * strip_h) + x.shape[2:])
+        return x[:, :height]
+
+    render = assemble(render)
+    alphas = assemble(alphas)
+
+    if render_mode in ("ED", "RGB+ED"):
+        render = jnp.concatenate(
+            [
+                render[..., :-1],
+                render[..., -1:] / jnp.clip(alphas, 1e-10, None),
+            ],
+            axis=-1,
+        )
+
+    D_base = 3 if sh_degree is not None else colors.shape[-1]
+    if render_mode in ("D", "ED"):
+        D_ex = 1
+    else:
+        D_ex = D_base + (1 if render_mode in ("RGB+D", "RGB+ED") else 0)
+    n_rows = 8 + D_ex + (2 if (means2d_carrier is not None and absgrad) else 0)
+    n_local = N // n_shards
+    # replicated exchange: each device sends its n_local rows to every
+    # other device (all-gather volume)
+    a2a_bytes = n_rows * n_local * 4 * (n_shards - 1)
+
+    meta = {
+        "width": width,
+        "height": height,
+        "n_cameras": C,
+        "radii": radii,
+        "n_isects": n_isects,  # per-(camera, strip) shard — balance signal
+        "slab_required": jnp.max(slab),
+        "isect_capacity": isect_capacity,
+        "n_strips": G,
+        "strip_rows": strip_rows,
+        "a2a_bytes_per_device": a2a_bytes,
     }
     return render, alphas, meta
 

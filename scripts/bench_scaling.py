@@ -39,6 +39,11 @@ def main():
                     choices=["binned", "tiled", "oracle"],
                     help="rasterizer backend under the mesh (default: the "
                          "flagship binned engine)")
+    ap.add_argument("--c1-strips", action="store_true",
+                    help="strong-scale ONE camera (the official bench "
+                         "config shape: batch_size=1) across the mesh via "
+                         "tile-row strips; reports per-strip load balance "
+                         "and exchange bytes")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -69,8 +74,15 @@ def main():
     results = []
     for nd in sizes:
         mesh = Mesh(np.array(devices[:nd]), ("gauss",))
-        N = args.n_per_dev * nd
-        C = nd
+        if args.c1_strips:
+            # STRONG scaling: one fixed camera/scene split into nd strips
+            # (the official bench workload is batch_size=1 — the layout the
+            # reference cannot distribute at all, rendering.py:305-306)
+            N = args.n_per_dev * max(sizes)
+            C = 1
+        else:
+            N = args.n_per_dev * nd
+            C = nd
         means = rng.standard_normal((N, 3)).astype(np.float32)
         quats = rng.standard_normal((N, 4)).astype(np.float32)
         scales = (rng.random((N, 3)) * 0.05 + 0.01).astype(np.float32)
@@ -116,12 +128,37 @@ def main():
         px_s = C * W * H / dt
         results.append({"devices": nd, "pixels_per_s": px_s, "sec_per_step": dt})
         base = results[0]["pixels_per_s"]
-        eff = px_s / (base * nd)
-        print(json.dumps({
-            "devices": nd, "N": N, "C": C,
-            "pixels_per_s": round(px_s),
-            "weak_scaling_efficiency": round(eff, 3),
-        }), flush=True)
+        if args.c1_strips:
+            # strong scaling: ideal = base throughput x nd
+            eff = px_s / (base * nd)
+            # distribution observability (VERDICT r4 item 9): per-strip
+            # entry counts (balance) + exchange volume
+            _, _, meta = jax.jit(
+                lambda m, q, s, o, c: rasterization_distributed(
+                    m, q, s, o, c, vm, K, W, H, mesh=mesh,
+                    backend=args.backend,
+                    isect_capacity=None if args.backend == "oracle" else cap,
+                    tile_size=32 if on_tpu else 16,
+                )
+            )(*ins)
+            n_isects = np.asarray(meta["n_isects"]).tolist()
+            print(json.dumps({
+                "devices": nd, "N": N, "C": C, "layout":
+                    "strip" if nd > 1 else "single",
+                "pixels_per_s": round(px_s),
+                "strong_scaling_efficiency": round(eff, 3),
+                "per_shard_isects": n_isects,
+                "a2a_bytes_per_device": int(
+                    meta.get("a2a_bytes_per_device", 0)
+                ) if nd > 1 else 0,
+            }), flush=True)
+        else:
+            eff = px_s / (base * nd)
+            print(json.dumps({
+                "devices": nd, "N": N, "C": C,
+                "pixels_per_s": round(px_s),
+                "weak_scaling_efficiency": round(eff, 3),
+            }), flush=True)
 
 
 if __name__ == "__main__":

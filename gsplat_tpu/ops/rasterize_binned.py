@@ -314,6 +314,7 @@ def _bwd_kernel(
     *,
     K: int,
     P: int,
+    PB: int,
     Dp: int,
     D: int,
     GR: int,
@@ -328,6 +329,7 @@ def _bwd_kernel(
     off = offs_ref[t]
     n = cnts_ref[t]
     aoff = aoff_ref[t]
+    NPB = P // PB  # pixel sub-blocks per slice (PB=P: single block)
     # LANES-aligned (not K-aligned) stream base: DMA offsets only need
     # 128-lane alignment, and the tighter base cuts the masked-out
     # front-of-range boundary lanes from avg K/2 to LANES/2 entries per
@@ -403,7 +405,14 @@ def _bwd_kernel(
             wcopy(b + 2, jax.lax.rem(i, 2)).wait()
         wslot = jax.lax.rem(i, 2)
 
-        # reverse sweep: slices processed back-to-front within the batch
+        # reverse sweep: slices processed back-to-front within the batch.
+        # Per-pixel math runs in PB-row sub-blocks (static unrolled — the
+        # same straight-dataflow shape as the 2DGS bwd's PB sub-blocking):
+        # at PB < P the [PB, LANES] live set shrinks proportionally, which
+        # is what lets KB=256 (NS=2, real read double-buffering) fit the
+        # 16MB VMEM at ts=32. Cross-pixel reductions (moments M, v_col)
+        # accumulate across blocks as values; PB=P reproduces the original
+        # single-block dataflow bit-for-bit.
         for s in reversed(range(NS)):
             e = eb[:, s * LANES : (s + 1) * LANES]
             gid = e[-1:, :].astype(jnp.int32)  # [1, 128] exact (< 2^24)
@@ -425,57 +434,79 @@ def _bwd_kernel(
                      jnp.zeros((2, LANES), jnp.float32)],
                     axis=0,
                 )
-                sig = jax.lax.dot_general(
-                    Qm, coef,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+            gidx = astart + b * K + s * LANES + kidx
+            colmask = (gidx >= off) & (gidx < off + n)
+
+            M = None  # [8, LANES] moment accumulator across pixel blocks
+            v_col_full = None  # [Dp, LANES]
+            S_parts, ssum_parts = [], []
+            for p0 in range(0, P, PB):
+                pb = slice(p0, p0 + PB)
+                if mxu_sigma:
+                    sig = jax.lax.dot_general(
+                        Qm[pb], coef,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    araw = op * jnp.exp(-jnp.maximum(sig, 0.0))
+                    sig_ok = sig >= -1e-3
+                else:
+                    dx = pxl[pb] - gxl
+                    dy = pyl[pb] - gyl
+                    sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+                    araw = op * jnp.exp(-sig)
+                    sig_ok = sig >= 0.0
+                alpha = jnp.minimum(araw, ALPHA_MAX)
+                valid = colmask & (alpha >= ALPHA_MIN) & sig_ok
+                accept = valid & (gidx <= last[pb])
+
+                one_m = jnp.where(accept, 1.0 - alpha, 1.0)
+                # reverse multiplicative chain: S_incl = prod_{j>=k}(1-a_j);
+                # T_excl(k) = T_fin / S_incl (reference bwd's progressive
+                # T /= (1-alpha), rasterize_to_pixels_bwd.py)
+                S_incl = (
+                    _cumprod_lanes(one_m, LANES, "rev_incl", native) * S[pb]
+                )
+                Tk = T_fin[pb] / S_incl
+                w = jnp.where(accept, alpha * Tk, 0.0)
+
+                cv = jax.lax.dot_general(
+                    vaccum[:, pb], ecol,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                araw = op * jnp.exp(-jnp.maximum(sig, 0.0))
-                sig_ok = sig >= -1e-3
-            else:
-                dx = pxl - gxl
-                dy = pyl - gyl
-                sig = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-                araw = op * jnp.exp(-sig)
-                sig_ok = sig >= 0.0
-            alpha = jnp.minimum(araw, ALPHA_MAX)
-            gidx = astart + b * K + s * LANES + kidx
-            colmask = (gidx >= off) & (gidx < off + n)
-            valid = colmask & (alpha >= ALPHA_MIN) & sig_ok
-            accept = valid & (gidx <= last)
+                d = w * cv
+                s_excl = _cum_lanes(d, LANES, "rev_excl", native) + ssum[pb]
 
-            one_m = jnp.where(accept, 1.0 - alpha, 1.0)
-            # reverse multiplicative chain: S_incl = prod_{j>=k} (1-a_j);
-            # T_excl(k) = T_fin / S_incl (reference bwd's progressive
-            # T /= (1-alpha), rasterize_to_pixels_bwd.py)
-            S_incl = _cumprod_lanes(one_m, LANES, "rev_incl", native) * S
-            Tk = T_fin / S_incl
-            w = jnp.where(accept, alpha * Tk, 0.0)
+                v_alpha = jnp.where(
+                    accept, Tk * cv - (s_excl + vlogT[pb]) / one_m, 0.0
+                )
+                notclamp = araw < ALPHA_MAX
+                v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
+                # moment contraction: M[m] = sum_p monomial_m(pxl,pyl)*v_sig
+                # — full-depth (PB) MXU matmul; the quadratic reductions
+                # are lane-wide combinations of M with per-entry coeffs
+                Mb = jax.lax.dot_general(
+                    Qm[pb], v_sig,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [8, LANES]
+                vcb = jax.lax.dot_general(
+                    vaccum[:, pb], w,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [Dp, LANES]
+                M = Mb if M is None else M + Mb
+                v_col_full = vcb if v_col_full is None else v_col_full + vcb
+                S_parts.append(S_incl[:, 0:1])
+                ssum_parts.append(
+                    ssum[pb] + jnp.sum(d, axis=1, keepdims=True)
+                )
 
-            cv = jax.lax.dot_general(
-                vaccum, ecol,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            d = w * cv
-            s_excl = _cum_lanes(d, LANES, "rev_excl", native) + ssum
-
-            v_alpha = jnp.where(
-                accept, Tk * cv - (s_excl + vlogT) / one_m, 0.0
-            )
-            notclamp = araw < ALPHA_MAX
-            v_sig = jnp.where(notclamp, -alpha * v_alpha, 0.0)
-            # moment contraction: M[m] = sum_p monomial_m(pxl, pyl) * v_sig
-            # — full-depth (P) MXU matmul; the quadratic reductions are
-            # then lane-wide combinations of M with the per-entry coeffs
-            M = jax.lax.dot_general(
-                Qm, v_sig,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [8, LANES]
             mxx, mxy, myy = M[0:1, :], M[1:2, :], M[2:3, :]
             mx, my, m1 = M[3:4, :], M[4:5, :], M[5:6, :]
             sdx = mx - gxl * m1  # sum_p dx * v_sig
@@ -489,12 +520,7 @@ def _bwd_kernel(
             v_cc = 0.5 * (myy - 2.0 * gyl * my + gyl * gyl * m1)
             v_gx = -(ca * sdx + cb * sdy)
             v_gy = -(cb * sdx + cc * sdy)
-            v_col = jax.lax.dot_general(
-                vaccum, w,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )[:D]
+            v_col = v_col_full[:D]
 
             rows = [
                 jnp.where(colmask, gid, jnp.int32(1 << 24)).astype(jnp.float32),
@@ -509,8 +535,15 @@ def _bwd_kernel(
                 rows, axis=0
             )
 
-            S = S_incl[:, 0:1]  # running product now includes this slice
-            ssum = ssum + jnp.sum(d, axis=1, keepdims=True)
+            # running product/sum now include this slice
+            S = (
+                S_parts[0] if NPB == 1
+                else jnp.concatenate(S_parts, axis=0)
+            )
+            ssum = (
+                ssum_parts[0] if NPB == 1
+                else jnp.concatenate(ssum_parts, axis=0)
+            )
 
         wcopy(b, wslot).start()
         return S, ssum
@@ -636,7 +669,7 @@ def _reduce_call(gid_sorted, vg_sorted, M: int, GR: int, interpret: bool):
 
 
 def _fwd_call(cfg, entries, offs, cnts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, PB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -677,7 +710,7 @@ def _fwd_call(cfg, entries, offs, cnts):
 
 
 def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, PB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -698,7 +731,7 @@ def _bwd_call(cfg, entries, offs, cnts, aoff, capA2, logT, last, v_accum, v_logT
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, K=KB, P=P, Dp=Dp, D=D, GR=GR, ts=ts, tw=tw, th=th,
+        _bwd_kernel, K=KB, P=P, PB=PB, Dp=Dp, D=D, GR=GR, ts=ts, tw=tw, th=th,
         native=not interpret, absgrad=absgrad, mxu_sigma=mxu_sigma,
     )
     # pre-zeroed (gid row = sentinel) so unprocessed aligned slots reduce
@@ -730,7 +763,7 @@ def _raster_binned(cfg, packed, absc, radii, depths):
 
 
 def _bin_from_packed(cfg, packed, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, PB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     rs = lambda r: packed[r].reshape(C, N)
     colors = jnp.stack([rs(6 + d) for d in range(D)], axis=-1)
     return bin_gaussians(
@@ -740,7 +773,7 @@ def _bin_from_packed(cfg, packed, radii, depths):
 
 
 def _raster_binned_fwd(cfg, packed, absc, radii, depths):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, PB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     binned = _bin_from_packed(cfg, jax.lax.stop_gradient(packed), radii, depths)
     NF = binned.entries.shape[0]
     # row F-1 carries the entry's gid as an exact f32 (< 2^24) for the
@@ -766,7 +799,7 @@ def _raster_binned_fwd(cfg, packed, absc, radii, depths):
 
 
 def _raster_binned_bwd(cfg, res, cts):
-    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
+    (C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, PB, capA, GR, interpret, absgrad, cull, skipf, mxu_sigma, slice_skip) = cfg
     entries, offs, cnts, logT, last = res
     v_accum, v_logT, _, _ = cts
     acnt = ((cnts + KB - 1) // KB + 1) * KB  # +KB: astart may precede offs
@@ -834,6 +867,8 @@ def rasterize_to_pixels_binned(
     skip_saturated: bool = True,
     sigma_mxu: Optional[bool] = None,
     slice_skip: Optional[bool] = None,
+    per_camera: Optional[bool] = None,
+    bwd_pixel_block: Optional[int] = None,
 ):
     """Rasterize via the binning engine (emit -> payload sort -> kernels).
 
@@ -852,11 +887,72 @@ def rasterize_to_pixels_binned(
     fwd kernel (bit-identical; env ``GSPLAT_SLICE_SKIP=1`` flips the
     default, off until the on-device A/B: it trades ~KF/2 dead trailing
     lanes/tile for 2x [P,LANES] carry-ref traffic per live slice).
+    ``per_camera`` bins/sorts/rasterizes each camera separately under
+    ``lax.map`` with ``capacity`` as the PER-CAMERA slab budget — removes
+    batched rendering's shared-slab tax (env ``GSPLAT_PER_CAM=1``).
     """
     if sigma_mxu is None:
         sigma_mxu = os.environ.get("GSPLAT_SIGMA_MXU", "0") == "1"
     if slice_skip is None:
         slice_skip = os.environ.get("GSPLAT_SLICE_SKIP", "0") == "1"
+    if per_camera is None:
+        per_camera = os.environ.get("GSPLAT_PER_CAM", "0") == "1"
+    if per_camera and (
+        isinstance(means2d, (tuple, list)) and means2d[0].shape[0] > 1
+        or not isinstance(means2d, (tuple, list)) and means2d.shape[0] > 1
+    ):
+        # Per-camera slab partition (VERDICT r4 item 6): bin + sort +
+        # rasterize each camera separately under lax.map instead of one
+        # shared C-times-larger slab. Removes the batched mode's max-slab
+        # tax (every camera padding to the worst camera's entry count) and
+        # the sort's n*log(n) growth; cameras serialize, but each camera's
+        # pipeline already fills the chip. ``capacity`` becomes the
+        # PER-CAMERA slab budget; aux reports the max across cameras so
+        # the out-of-jit growth loop keeps its semantics.
+        if isinstance(means2d, (tuple, list)):
+            mx_, my_ = means2d
+        else:
+            mx_, my_ = means2d[..., 0], means2d[..., 1]
+        if isinstance(conics, (tuple, list)):
+            ca_, cb_, cc_ = conics
+        else:
+            ca_, cb_, cc_ = conics[..., 0], conics[..., 1], conics[..., 2]
+        sl = {
+            "mx": mx_, "my": my_, "ca": ca_, "cb": cb_, "cc": cc_,
+            "op": opacities, "col": colors, "rad": radii, "dep": depths,
+        }
+        if backgrounds is not None:
+            sl["bg"] = backgrounds
+        if abs_carrier is not None:
+            sl["abx"] = abs_carrier[0]
+            sl["aby"] = abs_carrier[1]
+
+        def _one(s):
+            img, al, aux = rasterize_to_pixels_binned(
+                (s["mx"][None], s["my"][None]),
+                (s["ca"][None], s["cb"][None], s["cc"][None]),
+                s["col"][None], s["op"][None], s["rad"][None],
+                s["dep"][None], image_width, image_height, tile_size,
+                capacity,
+                backgrounds=s["bg"][None] if "bg" in s else None,
+                abs_carrier=(
+                    (s["abx"][None], s["aby"][None])
+                    if "abx" in s else None
+                ),
+                cull=cull, batch_size=batch_size,
+                bwd_batch_size=bwd_batch_size,
+                skip_saturated=skip_saturated, sigma_mxu=sigma_mxu,
+                slice_skip=slice_skip, per_camera=False,
+                bwd_pixel_block=bwd_pixel_block,
+            )
+            return img[0], al[0], aux["n_isects"], aux["slab_required"]
+
+        img, alphas, n_isects, slab = jax.lax.map(_one, sl)
+        aux = {
+            "n_isects": jnp.max(n_isects),
+            "slab_required": jnp.max(slab),
+        }
+        return img, alphas, aux
     # on-device sweep hooks: with the LANES-aligned stream base the
     # back-of-range boundary waste scales with K, so smaller K trades DMA
     # count against masked lanes — measure, don't guess
@@ -889,6 +985,16 @@ def rasterize_to_pixels_binned(
         bwd_batch_size = 2 * LANES if tile_size * tile_size <= 512 else LANES
     KF, KB = batch_size, bwd_batch_size
     assert KF % LANES == 0 and KB % LANES == 0
+    # bwd pixel sub-block (GSPLAT_BWD_PB): shrinks the bwd kernel's
+    # [P, LANES] live set by P/PB so larger KB (NS >= 2: real read
+    # double-buffering) fits VMEM at ts=32 — PB=P keeps the original
+    # single-block dataflow (bit-identical). On-device A/B decides the
+    # default (r5 queue).
+    PB = bwd_pixel_block or P
+    if os.environ.get("GSPLAT_BWD_PB"):
+        PB = int(os.environ["GSPLAT_BWD_PB"])
+    PB = min(PB, P)
+    assert P % PB == 0 and PB % 8 == 0, (P, PB)
     GR = _round_up(1 + 6 + D + (2 if abs_carrier is not None else 0), 8)
 
     rows = [
@@ -907,7 +1013,7 @@ def rasterize_to_pixels_binned(
         absc = jnp.zeros((2, C * N), jnp.float32)
 
     cfg = (
-        C, N, T, th, tw, ts, P, D, Dp, F, KF, KB,
+        C, N, T, th, tw, ts, P, D, Dp, F, KF, KB, PB,
         _round_up(capacity, 512), GR, _interpret(),
         abs_carrier is not None, cull, skip_saturated, sigma_mxu,
         slice_skip,

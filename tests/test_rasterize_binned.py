@@ -368,3 +368,73 @@ def test_binned_slice_skip_matches_exact(rng, dense):
     )
     for x, y in zip(g0, g1):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_binned_per_camera_matches_shared(rng):
+    """per_camera=True (per-camera slab partition, lax.map) must be
+    numerically identical to the shared-slab path — values AND grads —
+    with the same per-camera capacity."""
+    C, W, H, ts, D = 3, 48, 32, 16, 3
+    radii, means2d, depths, conics, colors, opac = _scene(
+        rng, N=150, C=C, W=W, H=H, D=D
+    )
+    bg = jnp.asarray(rng.random((C, D)).astype(np.float32))
+    wr = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+
+    def loss(per_cam, m2d, con, col, op):
+        r, a, aux = rasterize_to_pixels_binned(
+            m2d, con, col, op, radii, depths, W, H, ts,
+            capacity=8192, backgrounds=bg, per_camera=per_cam,
+        )
+        return jnp.sum(r * wr) + jnp.sum(a), (r, a, aux)
+
+    (l0, (r0, a0, x0)), g0 = jax.value_and_grad(
+        lambda *a: loss(False, *a), argnums=(0, 1, 2, 3), has_aux=True
+    )(means2d, conics, colors, opac)
+    (l1, (r1, a1, x1)), g1 = jax.value_and_grad(
+        lambda *a: loss(True, *a), argnums=(0, 1, 2, 3), has_aux=True
+    )(means2d, conics, colors, opac)
+
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-6)
+    for a, b, name in zip(g0, g1, ("means2d", "conics", "colors", "opac")):
+        s = max(float(np.abs(np.asarray(a)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5 * s,
+            err_msg=name,
+        )
+    # per-camera aux is the max across cameras: must cover every camera
+    # but be no larger than the shared slab's total
+    assert int(x1["slab_required"]) <= int(x0["slab_required"])
+    assert int(x1["n_isects"]) <= int(x0["n_isects"])
+
+
+@pytest.mark.parametrize("pb", [64, 128])
+def test_binned_bwd_pixel_block_matches_default(rng, pb):
+    """bwd pixel sub-blocking (PB < P): gradients must match the
+    single-block path (only MXU reduction order differs across blocks)."""
+    C, W, H, ts, D = 1, 48, 32, 16, 3  # P = 256
+    radii, means2d, depths, conics, colors, opac = _scene(
+        rng, N=150, C=C, W=W, H=H, D=D
+    )
+    wr = jnp.asarray(rng.standard_normal((C, H, W, D)).astype(np.float32))
+
+    def loss(pblk, m2d, con, col, op):
+        r, a, _ = rasterize_to_pixels_binned(
+            m2d, con, col, op, radii, depths, W, H, ts,
+            capacity=8192, bwd_pixel_block=pblk, bwd_batch_size=256,
+        )
+        return jnp.sum(r * wr) + jnp.sum(a)
+
+    g0 = jax.grad(lambda *a: loss(None, *a), argnums=(0, 1, 2, 3))(
+        means2d, conics, colors, opac
+    )
+    g1 = jax.grad(lambda *a: loss(pb, *a), argnums=(0, 1, 2, 3))(
+        means2d, conics, colors, opac
+    )
+    for a, b, name in zip(g0, g1, ("means2d", "conics", "colors", "opac")):
+        s = max(float(np.abs(np.asarray(a)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5 * s,
+            err_msg=name,
+        )

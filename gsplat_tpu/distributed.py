@@ -952,9 +952,23 @@ def rasterization_2dgs_distributed(
 
     n_shards = mesh.shape[axis]
     C = viewmats.shape[0]
-    assert C % n_shards == 0, (
-        f"#cameras ({C}) must be divisible by mesh axis '{axis}' ({n_shards})"
-    )
+    if C % n_shards != 0:
+        if n_shards % C == 0:
+            return _rasterization_2dgs_distributed_strips(
+                means, quats, scales, opacities, colors, viewmats, Ks,
+                width, height, mesh, axis=axis, sh_degree=sh_degree,
+                near_plane=near_plane, far_plane=far_plane,
+                radius_clip=radius_clip, tile_size=tile_size,
+                backgrounds=backgrounds, render_mode=render_mode,
+                distloss=distloss, depth_mode=depth_mode, backend=backend,
+                isect_capacity=isect_capacity, masks=masks,
+                densify_carrier=densify_carrier,
+                per_camera_colors=per_camera_colors,
+            )
+        raise ValueError(
+            f"#cameras ({C}) and mesh axis '{axis}' ({n_shards}) must "
+            "divide one another (strip layout covers C < n_shards)"
+        )
     backend, isect_capacity = resolve_auto_backend(
         backend, isect_capacity, C // n_shards, means.shape[0], width, height
     )
@@ -1078,6 +1092,201 @@ def rasterization_2dgs_distributed(
         "n_isects": n_isects,
         "slab_required": jnp.max(slab),
         "isect_capacity": isect_capacity,  # truncation-detect signal
+    }
+    return (
+        render_colors,
+        render_alphas,
+        render_normals,
+        normals_from_depth,
+        render_distort,
+        render_median,
+        meta,
+    )
+
+
+def _rasterization_2dgs_distributed_strips(
+    means, quats, scales, opacities, colors, viewmats, Ks,
+    width, height, mesh, axis, sh_degree, near_plane, far_plane,
+    radius_clip, tile_size, backgrounds, render_mode, distloss,
+    depth_mode, backend, isect_capacity, masks, densify_carrier,
+    per_camera_colors,
+):
+    """Tile-row-strip distributed 2DGS for C < n_shards (the surfel
+    counterpart of :func:`_rasterization_distributed_strips`).
+
+    Strip localization of the surfel rows: the kernels intersect rays via
+    ``h_u = -M[0] + px*M[2]``, ``h_v = -M[1] + py*M[2]``
+    (ops/rasterize_2dgs_ref.py:73-81), so shifting the pixel frame by
+    ``y_off`` means ``M[1] <- M[1] - y_off * M[2]`` (and ``mean_y`` shifts
+    like the 3DGS path for binning and the low-pass 2D fallback). Depth,
+    normals and distortion are per-splat values — unaffected by the pixel
+    reframe."""
+    n_shards = mesh.shape[axis]
+    C = viewmats.shape[0]
+    N = means.shape[0]
+    G = n_shards // C
+    assert C * G == n_shards
+    ts = tile_size
+    th = -(-height // ts)
+    strip_rows = -(-th // G)
+    strip_h = strip_rows * ts
+
+    backend, isect_capacity = resolve_auto_backend(
+        backend, isect_capacity, 1, N, width, strip_h
+    )
+    backgrounds = _depth_mode_backgrounds(backgrounds, render_mode, C)
+
+    if per_camera_colors:
+        assert sh_degree is None
+        color_spec = P(None, axis, None)
+    elif sh_degree is not None:
+        color_spec = P(axis, None, None)
+    else:
+        color_spec = P(axis, None)
+    extra_specs = ()
+    if masks is not None:
+        extra_specs = extra_specs + (P(axis),)
+    if densify_carrier is not None:
+        extra_specs = extra_specs + (P(None, axis, None),)
+
+    in_specs = (
+        P(axis, None), P(axis, None), P(axis, None), P(axis), color_spec,
+        P(), P(),
+    ) + extra_specs
+
+    def a2a_rep(x):
+        xr = jnp.broadcast_to(
+            x[:, None], (C, G) + x.shape[1:]
+        ).reshape((n_shards,) + x.shape[1:])
+        return lax.all_to_all(xr, axis, split_axis=0, concat_axis=1, tiled=True)
+
+    M_KEYS = [f"m{r}{c}" for r in range(3) for c in range(3)]
+
+    from .ops.projection_2dgs import fully_fused_projection_2dgs_soa
+
+    def _render(means, quats, scales, opacities, colors, viewmats, Ks, *rest):
+        rest = list(rest)
+        live = rest.pop(0) if masks is not None else None
+        carrier = rest.pop(0) if densify_carrier is not None else None
+        proj = fully_fused_projection_2dgs_soa(
+            means, quats, scales, viewmats, Ks, width, height,
+            near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip,
+        )
+        radii = proj["radii"]
+        if live is not None:
+            radii = jnp.where(live[None, :], radii, 0)
+        mean_x, mean_y = proj["mean_x"], proj["mean_y"]
+        if carrier is not None:
+            mean_x = mean_x + carrier[..., 0]
+            mean_y = mean_y + carrier[..., 1]
+        n_local = means.shape[0]
+
+        if per_camera_colors:
+            colors_cn = colors
+        elif sh_degree is None:
+            colors_cn = jnp.broadcast_to(
+                colors[None], (C, n_local, colors.shape[-1])
+            )
+        else:
+            camtoworlds = jnp.linalg.inv(viewmats)
+            dirs = means[None, :, :] - camtoworlds[:, None, :3, 3]
+            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
+            colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
+        if render_mode in ("RGB+D", "RGB+ED"):
+            colors_cn = jnp.concatenate(
+                [colors_cn, proj["depth"][..., None]], axis=-1
+            )
+        elif render_mode in ("D", "ED"):
+            colors_cn = proj["depth"][..., None]
+
+        mean_x = a2a_rep(mean_x)
+        mean_y = a2a_rep(mean_y)
+        depth = a2a_rep(proj["depth"])
+        mrows = [a2a_rep(proj[k]) for k in M_KEYS]
+        nrows = tuple(a2a_rep(proj[k]) for k in ("normal_x", "normal_y", "normal_z"))
+        radii_g = a2a_rep(radii)
+        opac_g = a2a_rep(jnp.broadcast_to(opacities[None, :], (C, n_local)))
+        cols_g = a2a_rep(colors_cn)
+        normals_g = jnp.stack(nrows, axis=-1)
+
+        # strip-local pixel frame
+        idx = lax.axis_index(axis)
+        g = jnp.remainder(idx, G)
+        y_off = (g * strip_h).astype(jnp.float32)
+        mean_y = mean_y - y_off
+        # M[1] <- M[1] - y_off * M[2]  (rows m1c, m2c)
+        for c_ in range(3):
+            mrows[3 + c_] = mrows[3 + c_] - y_off * mrows[6 + c_]
+        mrows = tuple(mrows)
+
+        bg = None
+        if backgrounds is not None:
+            cam = idx // G
+            bg = lax.dynamic_slice_in_dim(backgrounds, cam, 1, axis=0)
+
+        (
+            render, alphas, normals_img, distort, median, n_isects, slab
+        ) = _raster_rows_2dgs(
+            backend, mean_x, mean_y, depth, mrows, normals_g, radii_g,
+            opac_g, cols_g, width, strip_h, tile_size, isect_capacity, bg,
+        )
+        return (
+            render, alphas, normals_img, distort, median,
+            jax.lax.stop_gradient(radii), n_isects[None], slab[None],
+        )
+
+    # 5 strip-image outputs + owner-side radii (N on dim 1) + per-shard
+    # n_isects/slab
+    out_specs = (
+        P(None, axis), P(None, axis), P(None, axis), P(None, axis),
+        P(None, axis), P(None, axis), P(axis), P(axis),
+    )
+    fn = shard_map(_render, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    args = (means, quats, scales, opacities, colors, viewmats, Ks)
+    if masks is not None:
+        args = args + (masks,)
+    if densify_carrier is not None:
+        args = args + (densify_carrier,)
+    (
+        render_colors, render_alphas, render_normals, render_distort,
+        render_median, radii, n_isects, slab,
+    ) = fn(*args)
+
+    def assemble(x):
+        x = x.reshape((C, G * strip_h) + x.shape[2:])
+        return x[:, :height]
+
+    render_colors = assemble(render_colors)
+    render_alphas = assemble(render_alphas)
+    render_normals = assemble(render_normals)
+    render_distort = assemble(render_distort)
+    render_median = assemble(render_median)
+
+    (
+        render_colors, render_normals, normals_from_depth, render_distort
+    ) = _postprocess_2dgs(
+        render_colors, render_alphas, render_normals, render_distort,
+        render_median, viewmats, Ks, render_mode, depth_mode, distloss,
+    )
+
+    n_rows_ex = 17 + (
+        1 if render_mode in ("D", "ED")
+        else (3 if sh_degree is not None else colors.shape[-1])
+        + (1 if render_mode in ("RGB+D", "RGB+ED") else 0)
+    )
+    meta = {
+        "width": width,
+        "height": height,
+        "n_cameras": C,
+        "radii": radii,
+        "n_isects": n_isects,
+        "slab_required": jnp.max(slab),
+        "isect_capacity": isect_capacity,
+        "n_strips": G,
+        "strip_rows": strip_rows,
+        "a2a_bytes_per_device": n_rows_ex * (N // n_shards) * 4 * (n_shards - 1),
     }
     return (
         render_colors,

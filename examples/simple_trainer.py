@@ -159,6 +159,12 @@ class Config:
     pool_headroom: float = 2.0  # initial capacity = N0 * headroom
     pool_grow_at: float = 0.9  # grow pool when live fraction exceeds this
     isect_headroom: float = 1.5
+    # capacity growths re-jit the step (~minutes each through the remote
+    # tunnel); growth events PROJECT the final need from the observed
+    # densification rate instead of stepping x1.5, bounding mid-run
+    # recompiles to ~1 (VERDICT r4 item 5). Clamp on the projection:
+    pool_grow_max: float = 8.0  # never grow more than this per event
+    isect_capacity_init: int = 0  # expert pre-size (0 = probe-derived)
     steps_scaler: float = 1.0
     tile_size: int = 32  # TPU-optimal (see PERF.md); reference GPU uses 16
     seed: int = 42
@@ -378,6 +384,11 @@ class Runner:
             if self._backend in ("binned", "tiled")
             else None
         )
+        if cfg.isect_capacity_init > 0 and self.isect_capacity is not None:
+            # expert pre-size (e.g. from a previous run's final capacity):
+            # skips the mid-run growth re-jits entirely
+            self.isect_capacity = _round_up(cfg.isect_capacity_init, 4096)
+        self._live_hist = []  # (step, n_live) growth records for projection
         # packed-exchange visible-set capacity per (camera, owner shard);
         # grown out-of-jit from meta["pack_required"] like isect_capacity
         self.pack_capacity = 4096
@@ -388,10 +399,18 @@ class Runner:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
             n_dev = len(jax.devices())
-            assert cfg.batch_size % n_dev == 0, (
-                f"batch_size ({cfg.batch_size}) must be divisible by the "
-                f"device count ({n_dev}) — one camera group per device "
-                "(same constraint as the reference distributed mode)"
+            assert (
+                cfg.batch_size % n_dev == 0 or n_dev % cfg.batch_size == 0
+            ), (
+                f"batch_size ({cfg.batch_size}) and device count ({n_dev}) "
+                "must divide one another: whole cameras per device when "
+                "batch >= devices, tile-row strips within each camera when "
+                "batch < devices (distributed.py strip layout — the "
+                "reference supports only the former, rendering.py:305-306)"
+            )
+            assert not (cfg.packed and cfg.batch_size % n_dev != 0), (
+                "--packed needs whole cameras per device (batch_size >= "
+                "device count); the strip layout ships dense payloads"
             )
             # pose/appearance/bilagrid run on replicated params outside the
             # shard_map — jit psums their grads (DDP-equivalent, reference
@@ -452,17 +471,61 @@ class Runner:
 
     # --- pool / isect capacity management (out-of-jit, recompiles) --------
 
-    def _maybe_grow(self, n_isects: int, pack_required: int = 0):
+    def _projected_final_live(self, step: int, n_live: int):
+        """Extrapolate the live-splat count at densification stop from the
+        observed per-step growth rate (log-linear fit between the first
+        growth-history record and now). Returns None when there is no
+        usable history. Intentionally optimistic — the caller clamps by
+        pool_grow_max; overshoot costs a few % step time on dead slots,
+        undershoot costs a ~minutes re-jit through the remote tunnel."""
+        cfg = self.cfg
+        stop = min(cfg.refine_stop_iter, cfg.max_steps)
+        hist = self._live_hist
+        if step is None or step >= stop or not hist:
+            return None
+        # recent window (last ~5 refine events): densification growth
+        # decelerates over training, so a whole-history rate overshoots and
+        # a recent-window rate tracks the current regime
+        s0, l0 = hist[-min(len(hist), 6)]
+        if l0 <= 0 or n_live <= l0 or step <= s0:
+            return None
+        rate = (n_live / l0) ** (1.0 / (step - s0))  # per-step factor
+        return n_live * rate ** (stop - step)
+
+    def _maybe_grow(self, n_isects: int, pack_required: int = 0,
+                    step: int = None):
         cfg = self.cfg
         grew = False
         cap = self.live.shape[0]
         n_live = int(jnp.sum(self.live))
+        # growth-rate history for the projection (first record = baseline)
+        if (
+            step is not None
+            and n_live > 0
+            and (not self._live_hist or n_live != self._live_hist[-1][1])
+        ):
+            self._live_hist.append((step, n_live))
         if (
             cfg.strategy_name != "mcmc"
             and n_live > cfg.pool_grow_at * cap
         ):
-            new_cap = _round_up(int(cap * 1.5), 4096)
-            print(f"[pool] {n_live}/{cap} live -> growing to {new_cap}")
+            proj = self._projected_final_live(step, n_live)
+            if proj is not None:
+                # 1.2x margin over the projected stop-time count, at least
+                # one doubling, at most pool_grow_max per event
+                target = min(
+                    max(proj * 1.2 / cfg.pool_grow_at, cap * 2.0),
+                    cap * cfg.pool_grow_max,
+                )
+            else:
+                target = cap * 2.0
+            new_cap = _round_up(int(target), 4096)
+            grow_ratio = new_cap / cap
+            print(
+                f"[pool] {n_live}/{cap} live -> growing to {new_cap} "
+                f"(projected stop-time live: "
+                f"{int(proj) if proj else 'n/a'})"
+            )
 
             def grow(x, fill=0.0):
                 pad = jnp.full((new_cap - cap,) + x.shape[1:], fill, x.dtype)
@@ -480,6 +543,18 @@ class Runner:
                 for k, v in self.strategy_state.items()
             }
             grew = True
+            # the intersection demand scales ~linearly with live splats:
+            # pre-scale the slab in the SAME recompile event so the pool
+            # and slab growths don't each pay a separate re-jit
+            if self.isect_capacity is not None and n_isects > 0:
+                need = int(
+                    n_isects * grow_ratio * cfg.pool_grow_at
+                    * cfg.isect_headroom
+                )
+                if need > self.isect_capacity:
+                    self.isect_capacity = _round_up(need, 4096)
+                    print(f"[isect] pre-scaled with pool growth -> "
+                          f"capacity {self.isect_capacity}")
         if self.isect_capacity is not None and n_isects > 0.8 * self.isect_capacity:
             if n_isects > self.isect_capacity:
                 # this step really did render/train on a truncated list
@@ -489,8 +564,15 @@ class Runner:
                 )
             # only recompile when the target actually grows: with
             # isect_headroom <= 1.25 the 0.8 threshold would otherwise
-            # re-trigger (and re-jit the step) every single step
-            new_cap = _round_up(int(n_isects * cfg.isect_headroom), 4096)
+            # re-trigger (and re-jit the step) every single step.
+            # Hysteresis: grow at least 2x per event so repeated small
+            # overflows can't chain recompiles (each costs ~minutes on
+            # the remote tunnel).
+            new_cap = _round_up(
+                max(int(n_isects * cfg.isect_headroom),
+                    2 * self.isect_capacity),
+                4096,
+            )
             if new_cap > self.isect_capacity:
                 self.isect_capacity = new_cap
                 print(f"[isect] n_isects={n_isects} -> capacity {new_cap}")
@@ -781,6 +863,8 @@ class Runner:
         returns the exact requirement (meta['slab_required'] is computed
         before truncation); _maybe_grow handles growth from there."""
         cfg = self.cfg
+        if cfg.isect_capacity_init > 0:
+            return  # expert pre-size wins over the probe
         if not (self._on_tpu or cfg.backend in ("binned", "tiled")):
             return
         try:
@@ -984,7 +1068,7 @@ class Runner:
             # capacity, so a densification spike must trigger growth at the
             # very next step, not up to 99 steps later (n_isects is already
             # a jitted-step output, so this costs only the host sync).
-            self._maybe_grow(int(n_isects), int(pack_required))
+            self._maybe_grow(int(n_isects), int(pack_required), step=step)
 
             if step % 100 == 0:
                 n_live = int(jnp.sum(self.live))

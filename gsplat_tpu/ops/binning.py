@@ -102,6 +102,17 @@ def _emit_kernel(
     cp.wait()
     attrs = abuf[...]  # [A_pad, GB]
     prefix = attrs[3:4, :]  # [1, GB] exclusive within-block entry prefix
+    # 3-way disjoint-bit bf16 split of the selection values, once per
+    # block: the selection matmul's one-hot side is 0/1 (bf16-exact), so
+    # three DEFAULT (single-pass) matmuls on hi/mid/lo reproduce the exact
+    # f32 selection at half the MXU passes of HIGHEST (which must split
+    # both operands into 6 partials; Mosaic rejects per-operand precision).
+    # Bit-exact: each pass contributes x_part * 1.0 exactly, and
+    # hi+mid+lo == x exactly (disjoint mantissa bit ranges).
+    attrs_hi = attrs.astype(jnp.bfloat16).astype(jnp.float32)
+    attrs_r = attrs - attrs_hi
+    attrs_mid = attrs_r.astype(jnp.bfloat16).astype(jnp.float32)
+    attrs_lo = attrs_r - attrs_mid
 
     git = jax.lax.broadcasted_iota(jnp.int32, (GB, SB), 0)
     sit = jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)
@@ -123,13 +134,12 @@ def _emit_kernel(
         )  # [1, SB]
         ranki = rank.astype(jnp.int32)
         onehot = (git == ranki).astype(jnp.float32)  # [GB, SB]
-        # (HIGHEST, DEFAULT) would suffice mathematically (one-hot rhs is
-        # bf16-exact) but Mosaic rejects per-operand precision; HIGHEST it is
-        sel = jax.lax.dot_general(
-            attrs, onehot, (((1,), (0,)), ((), ())),
+        seldot = lambda a: jax.lax.dot_general(
+            a, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [A, SB] bit-exact selection
+        )
+        sel = seldot(attrs_hi) + seldot(attrs_mid) + seldot(attrs_lo)
+        # [A, SB] bit-exact selection (3-pass split, see block header)
         tminx, tminy, rw = sel[0:1], sel[1:2], sel[2:3]
         spre = sel[3:4]
         local = (s - spre).astype(jnp.int32)

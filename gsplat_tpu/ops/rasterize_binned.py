@@ -613,13 +613,22 @@ def _reduce_kernel(
         onehot = (
             ((gidT - jnp.float32(base)) == cit) & inrange
         ).astype(jnp.float32)  # [RK, RCHUNK]
-        # (HIGHEST, DEFAULT) would be exact here too, but Mosaic rejects
-        # per-operand precision — keep HIGHEST
-        acc = acc + jax.lax.dot_general(
-            vg, onehot, (((1,), (0,)), ((), ())),
+        # 3-pass exact segmented sum: the one-hot side is 0/1 (bf16-exact),
+        # so splitting ONLY the value side into three disjoint-bit bf16
+        # planes (hi+mid+lo == vg exactly — the standard f32 split) and
+        # accumulating three DEFAULT (single-pass) matmuls reproduces the
+        # full f32 product at HALF the MXU passes of HIGHEST, which must
+        # split BOTH operands (6 partials). Mosaic rejects per-operand
+        # precision, hence the manual split.
+        hi3 = vg.astype(jnp.bfloat16).astype(jnp.float32)
+        r3 = vg - hi3
+        mid3 = r3.astype(jnp.bfloat16).astype(jnp.float32)
+        lo3 = r3 - mid3
+        dot = lambda a: jax.lax.dot_general(
+            a, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )
+        acc = acc + dot(hi3) + dot(mid3) + dot(lo3)
         return acc
 
     # every started copy is waited inside body (prefetch for b+1 is waited

@@ -83,12 +83,14 @@ Dp = RB._round_up(D, 8)
 F = RB._round_up(6 + Dp, 8)
 GR = RB._round_up(1 + 6 + D, 8)
 capA = RB._round_up(cap, 512)
-Kf, Kb = 512, 128
+Kf = int(os.environ.get("GSPLAT_KF", 512))
+Kb = int(os.environ.get("GSPLAT_KB", 128))
 P = ts * ts
+Pb = int(os.environ.get("GSPLAT_BWD_PB", P))
 # (..., interpret, absgrad, cull, skip_saturated, sigma_mxu, slice_skip) —
 # keep in sync with rasterize_to_pixels_binned's cfg tuple (production
 # defaults: saturation skip on, MXU sigma off, slice skip off)
-cfg = (C, N, T, th, tw, ts, P, D, Dp, F, Kf, Kb, capA, GR,
+cfg = (C, N, T, th, tw, ts, P, D, Dp, F, Kf, Kb, Pb, capA, GR,
        False, False, True, True, False, False)
 
 

@@ -160,6 +160,39 @@ def test_trainer_distributed_smoke(tmp_path, rng, aux):
     assert np.isfinite(stats["psnr"])
 
 
+def test_trainer_distributed_strips_smoke(tmp_path, rng):
+    """batch_size=1 distributed training — the headline config the
+    reference cannot distribute: each of the 8 devices trains one tile-row
+    strip of the single camera (distributed.py strip layout)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mod = _load_trainer()
+    data_dir = str(tmp_path / "scene")
+    _tiny_colmap(data_dir, rng, n_cams=10)
+
+    cfg = mod.Config(
+        data_dir=data_dir,
+        data_factor=1,
+        result_dir=str(tmp_path / "out"),
+        max_steps=4,
+        eval_steps=[4],
+        save_steps=[],
+        refine_start_iter=2,
+        refine_every=2,
+        sh_degree_interval=100,
+        test_every=9,
+        pool_headroom=1.5,
+        distributed=True,
+        batch_size=1,
+        tile_size=8,
+    )
+    runner = mod.Runner(cfg)
+    assert runner.mesh is not None
+    runner.train()
+    stats = runner.eval(4)
+    assert np.isfinite(stats["psnr"])
+
+
 def test_trainer_checkpoint_resume(tmp_path, rng):
     """Full mid-train resume: optimizer + strategy state round-trips and
     training continues bit-compatibly from the checkpoint."""

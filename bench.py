@@ -226,6 +226,10 @@ def main():
 
 
 def _bench_batched(args, width, height, tile_size, C):
+    """C-camera batch under BOTH slab policies (VERDICT r4 item 6 A/B):
+    the shared slab (every camera pads to the batch's total entry count)
+    vs the per-camera slab partition (GSPLAT_PER_CAM — lax.map over
+    cameras, capacity = max single-camera slab)."""
     from gsplat_tpu import rasterization
 
     vm = np.tile(np.asarray(args[5][:1]), (C, 1, 1))
@@ -236,22 +240,49 @@ def _bench_batched(args, width, height, tile_size, C):
     Ks = jnp.tile(jnp.asarray(args[6][:1]), (C, 1, 1))
 
     cap, _ = _probe_capacity(args[:5], vm, Ks, width, height, tile_size)
-
-    def loss_fn(means, quats, scales, opacities, colors, vm, Ks):
-        render, alphas, _ = rasterization(
-            means, quats, scales, opacities, colors, vm, Ks,
-            width, height, backend="binned", isect_capacity=cap,
-            tile_size=tile_size,
-        )
-        return jnp.sum(render) + jnp.sum(alphas)
-
-    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))
-    dt = _time_scan_steady(grad_fn, args[:5] + (vm, Ks), scan_n=5, reps=2)
-    print(
-        f"side report C={C}: {C * width * height / dt:.3e} pixels/s "
-        f"fwd+bwd steady-state ({dt*1e3:.1f} ms/step, capacity={cap})",
-        file=sys.stderr,
+    # per-camera policy: capacity is the PER-CAMERA budget -> max over
+    # single-camera probes (same recipe, C=1 slices)
+    cap_pc = max(
+        _probe_capacity(
+            args[:5], vm[c : c + 1], Ks[c : c + 1], width, height, tile_size
+        )[0]
+        for c in range(C)
     )
+
+    def make(capacity):
+        def loss_fn(means, quats, scales, opacities, colors, vm, Ks):
+            render, alphas, _ = rasterization(
+                means, quats, scales, opacities, colors, vm, Ks,
+                width, height, backend="binned", isect_capacity=capacity,
+                tile_size=tile_size,
+            )
+            return jnp.sum(render) + jnp.sum(alphas)
+
+        return jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))
+
+    for label, capacity, env in (
+        ("shared-slab", cap, None),
+        ("per-camera-slab", cap_pc, "1"),
+    ):
+        prev = os.environ.pop("GSPLAT_PER_CAM", None)
+        if env is not None:
+            os.environ["GSPLAT_PER_CAM"] = env  # read at trace time
+        try:
+            grad_fn = make(capacity)
+            dt = _time_scan_steady(
+                grad_fn, args[:5] + (vm, Ks), scan_n=5, reps=2
+            )
+            print(
+                f"side report C={C} {label}: "
+                f"{C * width * height / dt:.3e} pixels/s fwd+bwd "
+                f"steady-state ({dt*1e3:.1f} ms/step, capacity={capacity})",
+                file=sys.stderr,
+            )
+        finally:
+            if env is not None:
+                os.environ.pop("GSPLAT_PER_CAM", None)
+            if prev is not None:
+                os.environ["GSPLAT_PER_CAM"] = prev
 
 
 if __name__ == "__main__":

@@ -80,7 +80,10 @@ def main():
             )
             return jnp.sum(r) + jnp.sum(a)
         if grad:
-            return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+            g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+            # flat leaves: _time_scan_steady sums the outputs and argnum 2
+            # (the conic tuple) would otherwise surface as a nested tuple
+            return jax.jit(lambda *a: tuple(jax.tree.leaves(g(*a))))
         return jax.jit(loss)
 
     # (label, KF, KB, PB); PB=None -> P (default single-block)
